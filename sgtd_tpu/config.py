@@ -1,0 +1,141 @@
+"""Configuration for the TPU-native SGTD pipeline.
+
+Parameter names mirror the reference ROS/YAML knobs so results are comparable:
+reference ``ConfigSetting`` (src/sgtd/include/desc/STDesc.h:38-72, read at
+src/sgtd/src/STDesc.cpp:18-70) and node-level params
+(src/sgtd/src/semantic_graph_localization.cpp:216-241). Canonical values from
+src/sgtd/config/SG_localization.yaml.
+
+Unlike the reference (dynamic hash maps / vectors), the TPU pipeline is all
+fixed-shape tensor programs, so this config also carries the static capacity
+knobs (padding sizes) that replace the reference's unbounded containers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DescriptorConfig:
+    """Triangle-descriptor construction (ref STDesc.cpp:174-315)."""
+
+    # kNN neighbourhood used to enumerate triangles (descriptor_near_num).
+    near_num: int = 10
+    # Side-length gates in metres (descriptor_min_len / descriptor_max_len).
+    min_len: float = 0.5
+    max_len: float = 50.0
+    # Side lengths are stored as ``scale * len`` with scale = 1/std_side_resolution
+    # (ref STDesc.cpp:178,298). yaml: std_side_resolution: 1
+    side_resolution: float = 1.0
+
+    @property
+    def scale(self) -> float:
+        return 1.0 / self.side_resolution
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Candidate search + verification (ref STDesc.cpp:318-547)."""
+
+    # Number of candidate frames kept after voting (candidate_num).
+    candidate_num: int = 50
+    # Rough side-length match threshold: dis < ||sides|| * rough_dis_threshold
+    # (ref STDesc.cpp:356-357,378).
+    rough_dis_threshold: float = 0.03
+    # Minimum votes for a frame to become a candidate (ref STDesc.cpp:433).
+    min_votes: float = 5.0
+    # Loop acceptance: best verify score must exceed this (icp_threshold,
+    # ref STDesc.cpp:138).
+    icp_threshold: float = 0.4
+    # Vertex inlier distance for geometric verification in metres
+    # (ref STDesc.cpp:469 ``dis_threshold = 3.0`` hard-coded).
+    verify_dis_threshold: float = 3.0
+    # Minimum hypothesis votes to accept a candidate (ref STDesc.cpp:515).
+    min_hypothesis_votes: int = 4
+    # Max rigid-transform hypotheses sampled per candidate (ref STDesc.cpp:467:
+    # skip_len sampling targets <= 50 hypotheses).
+    max_hypotheses: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static paddings replacing the reference's dynamic containers."""
+
+    # Max semantic-graph nodes per keyframe (ref maximum_corner_num = 100).
+    max_nodes: int = 128
+    # Max deduplicated descriptors kept per scan.
+    max_descriptors: int = 2048
+    # Max DB bucket entries scanned per key probe (reference scans full
+    # buckets, ref STDesc.cpp:372; we cap for static shapes — the DB build
+    # reports how many rows exceed this).
+    bucket_cap: int = 256
+    # Max matches kept per query descriptor for pair extraction (the vote
+    # tally itself is exact; this only bounds the verification pair lists).
+    hits_per_descriptor: int = 16
+    # Max match pairs per candidate frame fed to verification.
+    pairs_per_candidate: int = 512
+    # Max keyframes in the descriptor database (ref MAX_FRAME_N = 20000,
+    # STDesc.h:33 — a hard limit there; here just the vote-array padding and
+    # liftable per instance).
+    max_frames: int = 20000
+
+
+@dataclasses.dataclass(frozen=True)
+class GicpConfig:
+    """Batched GICP refinement (ref fast_gicp, config fast_gicp block)."""
+
+    enable: bool = False
+    num_neighbors: int = 20  # k for covariance estimation
+    max_iterations: int = 10
+    # Voxel downsample leaf size for query/map clouds (SG_data/leaf_size).
+    leaf_size: float = 3.0
+    # Early-accept fitness (SG_data/best_fitness).
+    best_fitness: float = 15.0
+    # Max points after downsampling (static shape).
+    max_points: int = 8192
+    # GN/LM convergence thresholds (ref lsq_registration_impl.hpp:82).
+    rot_eps: float = 2e-3
+    trans_eps: float = 5e-4
+    # Plane regularization eigenvalues (ref fast_gicp_impl.hpp:284).
+    plane_eps: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class DcvcConfig:
+    """Dynamic Curved-Voxel Clustering (ref cluster_manager.hpp:137-385,
+    parameter values from get_json.cpp:205-209)."""
+
+    start_r: float = 0.35
+    delta_r: float = 0.0004
+    delta_p: float = 1.2
+    delta_a: float = 1.2
+    min_seg: int = 300
+    # Polar range gates (ref cluster_manager.hpp:198).
+    min_range: float = 0.5
+    max_range: float = 120.0
+    # Static caps.
+    max_points: int = 131072
+    max_voxels: int = 65536
+    max_clusters: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class SGTDConfig:
+    desc: DescriptorConfig = DescriptorConfig()
+    search: SearchConfig = SearchConfig()
+    caps: CapacityConfig = CapacityConfig()
+    gicp: GicpConfig = GicpConfig()
+    dcvc: DcvcConfig = DcvcConfig()
+    # Success gates (ref semantic_graph_localization.cpp:750): T<5m, R<10deg.
+    success_trans_m: float = 5.0
+    success_rot_deg: float = 10.0
+    # Recall@K gate (ref semantic_graph_localization.cpp:639): T<10m.
+    recall_trans_m: float = 10.0
+
+    def replace(self, **kw) -> "SGTDConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SGTDConfig()

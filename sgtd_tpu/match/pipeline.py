@@ -1,0 +1,116 @@
+"""End-to-end one-shot localization pipeline (jittable).
+
+TPU-native analog of ``STDescManager::SearchLoop`` plus the surrounding main
+loop of the localization node (src/sgtd/src/STDesc.cpp:84-147,
+src/sgtd/src/semantic_graph_localization.cpp:567-646): build the query's
+triangle descriptors, vote for candidate keyframes, geometrically verify every
+candidate, and return the score-sorted candidate list (the reference's
+``match_result_list``) with rigid transforms.
+
+The whole function is one jit program; batching over query scans is a vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sgtd_tpu.config import SGTDConfig
+from sgtd_tpu.db.database import DescriptorDB
+from sgtd_tpu.desc.triangles import Descriptors, build_descriptors
+from sgtd_tpu.geom import se3
+from sgtd_tpu.graph.types import SemanticGraph
+from sgtd_tpu.match.search import candidate_search
+from sgtd_tpu.match.verify import verify_candidates
+
+
+class LocalizationResult(NamedTuple):
+    """Score-sorted candidate list for one query scan.
+
+    found:        () bool — best score exceeded icp_threshold
+                  (ref STDesc.cpp:138).
+    best_frame:   () int32 — top candidate keyframe id (-1 if none).
+    best_score:   () float32.
+    frames:       (C,) int32 — candidates sorted by verify score desc
+                  (ref match_result_list sort,
+                  semantic_graph_localization.cpp:603).
+    scores:       (C,) float32.
+    votes:        (C,) float32 — selector votes of the sorted candidates.
+    rot:          (C, 3, 3) float32 — query-sensor -> map-keyframe-sensor.
+    trans:        (C, 3) float32.
+    poses:        (C, 4, 4) float32 — estimated world poses of the query
+                  (frame_pose[c] @ T_loop[c],
+                  ref semantic_graph_localization.cpp:747 without GICP).
+    num_descriptors: () int32.
+    """
+
+    found: jnp.ndarray
+    best_frame: jnp.ndarray
+    best_score: jnp.ndarray
+    frames: jnp.ndarray
+    scores: jnp.ndarray
+    votes: jnp.ndarray
+    rot: jnp.ndarray
+    trans: jnp.ndarray
+    poses: jnp.ndarray
+    num_descriptors: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def localize(
+    db: DescriptorDB,
+    graph: SemanticGraph,
+    config: SGTDConfig = SGTDConfig(),
+) -> LocalizationResult:
+    query = build_descriptors(graph, config.desc, config.caps)
+    return localize_descriptors(db, query, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def localize_descriptors(
+    db: DescriptorDB,
+    query: Descriptors,
+    config: SGTDConfig = SGTDConfig(),
+) -> LocalizationResult:
+    cand = candidate_search(db, query, config.desc, config.search, config.caps)
+    ver = verify_candidates(db, query, cand, config.search)
+
+    order = jnp.argsort(-ver.scores, stable=True)
+    frames = cand.frames[order]
+    scores = ver.scores[order]
+    votes = cand.votes[order]
+    rot = ver.rot[order]
+    trans = ver.trans[order]
+
+    t_loop = se3.rt_to_mat(rot, trans)  # (C, 4, 4)
+    poses = db.frame_poses[frames] @ t_loop
+
+    best_score = scores[0]
+    found = best_score > jnp.float32(config.search.icp_threshold)
+    best_frame = jnp.where(found, frames[0], -1)
+
+    return LocalizationResult(
+        found=found,
+        best_frame=best_frame,
+        best_score=best_score,
+        frames=frames,
+        scores=scores,
+        votes=votes,
+        rot=rot,
+        trans=trans,
+        poses=poses,
+        num_descriptors=query.count,
+    )
+
+
+def localize_batch(
+    db: DescriptorDB,
+    graphs: SemanticGraph,
+    config: SGTDConfig = SGTDConfig(),
+) -> LocalizationResult:
+    """vmap of :func:`localize` over a leading batch of query graphs."""
+    fn = functools.partial(localize, config=config)
+    return jax.vmap(fn, in_axes=(None, 0))(db, graphs)

@@ -1,0 +1,191 @@
+"""Vote-based candidate frame search over the sorted descriptor DB.
+
+TPU-native re-design of ``STDescManager::candidate_selector``
+(src/sgtd/src/STDesc.cpp:318-460). The reference probes 27 hash buckets per
+query descriptor under OpenMP and accumulates votes in a fixed array; here the
+same computation is one fused tensor program:
+
+  probe keys (27 per descriptor)  ->  searchsorted bucket ranges
+  ->  gathered bucket rows        ->  side-length rough filter
+  ->  per-frame vote segment_sum  ->  top-K candidate frames
+  ->  per-candidate match-pair extraction (sort hits by frame, slice).
+
+Vote parity: every bucket entry within ``bucket_cap`` is counted, with the
+same gates as the reference — bucket-key equality (labels included in the
+key), the 1.5-cell voxel-centre gate (STDesc.cpp:369), and
+``dist(sides) < ||sides|| * rough_dis_threshold`` (STDesc.cpp:356,378).
+The reference's ``frame_id`` ordering check (STDesc.cpp:373) is a loop-closure
+guard that is always true in one-shot localization (query is never in the DB)
+and is intentionally not reproduced.
+
+The three stages are exposed separately so the multi-device path
+(sgtd_tpu.parallel.sharded_match) can run stage 1 on DB shards, psum the
+votes, and all-gather the pair lists.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgtd_tpu.config import CapacityConfig, DescriptorConfig, SearchConfig
+from sgtd_tpu.db.database import DescriptorDB
+from sgtd_tpu.desc.keys import probe_keys
+from sgtd_tpu.desc.triangles import Descriptors
+
+
+class CandidateSet(NamedTuple):
+    """Top-K candidate frames and their match-pair lists.
+
+    frames:     (C,) int32 — candidate keyframe ids (vote-descending).
+    votes:      (C,) float32 — vote tallies.
+    valid:      (C,) bool — vote >= min_votes (ref STDesc.cpp:433).
+    pair_qidx:  (C, P) int32 — query-descriptor index of each match pair.
+    pair_row:   (C, P) int32 — DB row of each match pair.
+    pair_valid: (C, P) bool.
+    """
+
+    frames: jnp.ndarray
+    votes: jnp.ndarray
+    valid: jnp.ndarray
+    pair_qidx: jnp.ndarray
+    pair_row: jnp.ndarray
+    pair_valid: jnp.ndarray
+
+
+def probe_and_hits(
+    db: DescriptorDB,
+    query: Descriptors,
+    cfg: DescriptorConfig,
+    search: SearchConfig,
+    caps: CapacityConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage 1: bucket probes + rough filter on (a shard of) the DB.
+
+    Returns (votes (F,), sel_row (D, U), sel_frame (D, U)) where sel_frame
+    holds the frame id of each kept hit or F (sentinel) for empty slots.
+    The vote tally counts *all* hits (exact parity); sel_* is the compacted
+    per-descriptor hit list used only for verification pair lists.
+    """
+    d_max = query.sides.shape[0]
+    b_cap = caps.bucket_cap
+    m_rows = db.keys.shape[0]
+
+    # --- 27-neighbourhood probes -> bucket ranges. ---
+    keys, gate = probe_keys(query.sides, query.labels, cfg)  # (D, 27)
+    start = jnp.searchsorted(db.keys, keys, side="left")
+    end = jnp.searchsorted(db.keys, keys, side="right")
+
+    # --- gather bucket rows and apply the rough side-length filter. ---
+    slot = jnp.arange(b_cap, dtype=jnp.int32)  # (B,)
+    rows = start[..., None] + slot  # (D, 27, B)
+    in_bucket = slot < (end - start)[..., None]
+    rows_c = jnp.minimum(rows, m_rows - 1)
+
+    db_sides = db.sides[rows_c]  # (D, 27, B, 3)
+    dis = jnp.linalg.norm(query.sides[:, None, None, :] - db_sides, axis=-1)
+    thr = jnp.linalg.norm(query.sides, axis=-1) * jnp.float32(
+        search.rough_dis_threshold
+    )
+    hit = (
+        in_bucket
+        & gate[..., None]
+        & query.mask[:, None, None]
+        & (dis < thr[:, None, None])
+    )  # (D, 27, B)
+
+    # --- exact per-frame vote tally (ref match_array, STDesc.cpp:410-412). ---
+    f_pad = db.frame_poses.shape[0]
+    frame_of_hit = db.frame_ids[rows_c]
+    votes = jax.ops.segment_sum(
+        hit.astype(jnp.float32).ravel(),
+        frame_of_hit.ravel(),
+        num_segments=f_pad,
+    )
+    votes = jnp.where(db.frame_valid, votes, 0.0)
+
+    # --- compact hits per query descriptor for pair extraction. ---
+    # The tally above is exact; pair lists are bounded by hits_per_descriptor
+    # per query descriptor and pairs_per_candidate per frame (the reference
+    # also subsamples pairs before verification, STDesc.cpp:467-468).
+    u = caps.hits_per_descriptor
+    flat_hit = hit.reshape(d_max, -1)  # (D, 27*B)
+    n_pb = flat_hit.shape[1]
+    rank = jnp.where(
+        flat_hit,
+        jnp.int32(n_pb) - jnp.arange(n_pb, dtype=jnp.int32)[None, :],
+        0,
+    )
+    sel_rank, sel_pos = jax.lax.top_k(rank, u)  # (D, U), earliest hits first
+    sel_valid = sel_rank > 0
+    flat_rows = rows_c.reshape(d_max, -1)
+    sel_row = jnp.take_along_axis(flat_rows, sel_pos, axis=1)  # (D, U)
+    sel_frame = jnp.where(sel_valid, db.frame_ids[sel_row], f_pad)
+    return votes, sel_row, sel_frame
+
+
+def select_candidates(
+    votes: jnp.ndarray, search: SearchConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage 2: top-K candidate frames (ref STDesc.cpp:423-453)."""
+    f_pad = votes.shape[0]
+    k_cand = min(search.candidate_num, f_pad)
+    cand_votes, cand_frames = jax.lax.top_k(votes, k_cand)
+    cand_valid = cand_votes >= jnp.float32(search.min_votes)
+    return cand_votes, cand_frames.astype(jnp.int32), cand_valid
+
+
+def extract_pairs(
+    sel_row: jnp.ndarray,
+    sel_frame: jnp.ndarray,
+    cand_frames: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    pairs_per_candidate: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage 3: group hits by frame and slice each candidate's pair list."""
+    d_max, u = sel_frame.shape
+    du = d_max * u
+    hf = sel_frame.ravel()
+    hq = jnp.broadcast_to(
+        jnp.arange(d_max, dtype=jnp.int32)[:, None], (d_max, u)
+    ).ravel()
+    hr = sel_row.ravel()
+    order = jnp.argsort(hf, stable=True)
+    hf_s, hq_s, hr_s = hf[order], hq[order], hr[order]
+
+    p = pairs_per_candidate
+    lo = jnp.searchsorted(hf_s, cand_frames)  # (C,)
+    pair_pos = lo[:, None] + jnp.arange(p, dtype=jnp.int32)[None, :]  # (C, P)
+    pair_pos_c = jnp.minimum(pair_pos, du - 1)
+    pair_valid = (
+        (pair_pos < du)
+        & (hf_s[pair_pos_c] == cand_frames[:, None])
+        & cand_valid[:, None]
+    )
+    return hq_s[pair_pos_c], hr_s[pair_pos_c], pair_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "search", "caps"))
+def candidate_search(
+    db: DescriptorDB,
+    query: Descriptors,
+    cfg: DescriptorConfig = DescriptorConfig(),
+    search: SearchConfig = SearchConfig(),
+    caps: CapacityConfig = CapacityConfig(),
+) -> CandidateSet:
+    votes, sel_row, sel_frame = probe_and_hits(db, query, cfg, search, caps)
+    cand_votes, cand_frames, cand_valid = select_candidates(votes, search)
+    pair_qidx, pair_row, pair_valid = extract_pairs(
+        sel_row, sel_frame, cand_frames, cand_valid, caps.pairs_per_candidate
+    )
+    return CandidateSet(
+        frames=cand_frames,
+        votes=cand_votes,
+        valid=cand_valid,
+        pair_qidx=pair_qidx,
+        pair_row=pair_row,
+        pair_valid=pair_valid,
+    )

@@ -1,0 +1,94 @@
+"""End-to-end one-shot localization on a synthetic world.
+
+The minimum E2E slice from SURVEY.md section 7: map keyframes -> descriptor
+DB -> query localization -> pose recovery, all on CPU-sized capacities.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sgtd_tpu.data.synthetic import make_map_and_queries
+from sgtd_tpu.db.database import build_database, load_database, save_database
+from sgtd_tpu.desc.triangles import build_descriptors
+from sgtd_tpu.eval.metrics import EvalAccumulator, rpe
+from sgtd_tpu.match.pipeline import localize
+from sgtd_tpu.match.search import candidate_search
+from sgtd_tpu.match.verify import triangle_solver
+import pytest
+
+
+@pytest.fixture(scope="module")
+def world_setup(small_config):
+    cfg = small_config
+    map_graphs, query_graphs, world = make_map_and_queries(
+        cfg, seed=7, num_map_frames=24, num_queries=8,
+        center_noise_m=0.05, dropout=0.1, label_corrupt_rate=0.05,
+    )
+    descs = [build_descriptors(g, cfg.desc, cfg.caps) for g in map_graphs]
+    db, report = build_database(descs, [np.asarray(g.pose) for g in map_graphs], cfg.desc, cfg.caps)
+    return cfg, map_graphs, query_graphs, world, db, report
+
+
+def test_db_build_report(world_setup):
+    _, _, _, _, db, report = world_setup
+    assert report.num_rows > 100
+    assert report.num_frames == 24
+    assert report.max_bucket >= 1
+    # Sorted keys.
+    keys = np.asarray(db.keys)
+    assert np.all(np.diff(keys.astype(np.int64)) >= 0)
+
+
+def test_triangle_solver_recovers_transform(rng):
+    from sgtd_tpu.geom import se3
+
+    xi = np.array([1.0, -2.0, 0.5, 0.3, -0.2, 0.8], np.float32)
+    T = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+    src = rng.uniform(-10, 10, (16, 3, 3)).astype(np.float32)
+    ref = src @ T[:3, :3].T + T[:3, 3]
+    R, t = triangle_solver(jnp.asarray(src), jnp.asarray(ref))
+    np.testing.assert_allclose(np.asarray(R), np.tile(T[:3, :3], (16, 1, 1)), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), np.tile(T[:3, 3], (16, 1)), atol=1e-3)
+
+
+def test_candidate_search_finds_true_frame(world_setup):
+    cfg, map_graphs, query_graphs, world, db, _ = world_setup
+    g = query_graphs[0]
+    q = build_descriptors(g, cfg.desc, cfg.caps)
+    cand = candidate_search(db, q, cfg.desc, cfg.search, cfg.caps)
+    assert bool(cand.valid[0])
+    # The true nearest map keyframe should be among the candidates.
+    qpos = np.asarray(g.pose)[:3, 3]
+    dists = np.linalg.norm(world.map_poses[:, :3, 3] - qpos, axis=1)
+    true_frame = int(np.argmin(dists))
+    frames = np.asarray(cand.frames)[np.asarray(cand.valid)]
+    assert true_frame in frames.tolist()
+
+
+def test_localize_recovers_pose(world_setup):
+    cfg, map_graphs, query_graphs, world, db, _ = world_setup
+    acc = EvalAccumulator(cfg)
+    for g in query_graphs:
+        res = localize(db, g, cfg)
+        assert bool(res.found), "loop not detected"
+        est = np.asarray(res.poses[0])
+        gt = np.asarray(g.pose)
+        acc.add(gt, est, np.asarray(res.poses))
+    s = acc.summary()
+    assert s["success_rate"] == 1.0, s
+    assert s["rmse_trans_m"] < 1.0, s
+    assert s["rmse_rot_deg"] < 3.0, s
+    assert s["recall_at_1"] == 1.0, s
+
+
+def test_db_save_load_roundtrip(world_setup, tmp_path):
+    cfg, _, query_graphs, _, db, _ = world_setup
+    p = str(tmp_path / "db.npz")
+    save_database(p, db)
+    db2 = load_database(p)
+    res1 = localize(db, query_graphs[0], cfg)
+    res2 = localize(db2, query_graphs[0], cfg)
+    assert int(res1.best_frame) == int(res2.best_frame)
+    np.testing.assert_allclose(
+        np.asarray(res1.poses), np.asarray(res2.poses), atol=1e-6
+    )
