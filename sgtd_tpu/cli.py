@@ -1,0 +1,151 @@
+"""Command-line tools — the analog of the reference's ROS nodes.
+
+  build-map   : raw .bin+.label scans -> per-scan semantic graph JSONs
+                (the ``create_semantic_graph`` node, src/sgtd/src/get_json.cpp).
+  localize    : map graph dir + query graph dir -> SR/RMSE/Recall metrics
+                (the ``semantic_graph_localization`` node).
+  eval-synth  : self-contained synthetic-world evaluation (no dataset needed).
+
+Run as ``python -m sgtd_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_build_map(args):
+    import jax.numpy as jnp
+
+    from sgtd_tpu.config import DcvcConfig, SGTDConfig
+    from sgtd_tpu.graph.build import build_graph
+    from sgtd_tpu.io import readers
+    from sgtd_tpu.io.graph_json import write_graph_json
+
+    cfg = SGTDConfig()
+    dcvc = DcvcConfig()
+    scans = readers.list_scans(args.scans, ".bin")
+    labels = readers.list_scans(args.labels, ".label")
+    assert len(scans) == len(labels), (len(scans), len(labels))
+
+    poses = None
+    if args.poses:
+        if args.dataset == "mulran":
+            stamps, pose_mats = readers.read_mulran_poses(args.poses)
+            pose_mats = readers.apply_mulran_utm_offset(pose_mats, args.sequence or "")
+            scan_stamps = np.asarray(
+                [int(os.path.splitext(os.path.basename(s))[0]) for s in scans],
+                dtype=np.int64,
+            )
+            idx = readers.associate_by_timestamp(scan_stamps, stamps)
+            poses = pose_mats[idx]
+        else:
+            poses = readers.read_kitti_poses(args.poses, args.calib)
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(0)
+    n_max = dcvc.max_points
+    for i, (sp, lp) in enumerate(zip(scans, labels)):
+        pts = readers.read_bin(sp)[:, :3]
+        sem, inst = readers.read_label(lp)
+        if args.dataset == "kitti":
+            sem = readers.to_reference_train_ids(readers.remap_semantic_kitti(sem))
+        if args.label_corrupt_rate > 0:
+            sem = readers.corrupt_labels(sem, args.label_corrupt_rate, rng)
+        n = min(len(pts), n_max)
+        mask = np.zeros(n_max, bool)
+        mask[:n] = True
+        p = np.zeros((n_max, 3), np.float32)
+        p[:n] = pts[:n]
+        s = np.zeros(n_max, np.int32)
+        s[:n] = sem[:n]
+        ii = np.zeros(n_max, np.int32)
+        ii[:n] = inst[:n]
+        pose = poses[i] if poses is not None else np.eye(4, dtype=np.float32)
+        g = build_graph(
+            jnp.asarray(p), jnp.asarray(s), jnp.asarray(ii), jnp.asarray(mask),
+            pose.astype(np.float32), cfg.caps, dcvc,
+        )
+        base = os.path.splitext(os.path.basename(sp))[0]
+        write_graph_json(os.path.join(args.out, base + ".json"), g)
+        if i % 50 == 0:
+            print(f"[build-map] {i}/{len(scans)}", file=sys.stderr)
+    print(f"[build-map] wrote {len(scans)} graphs to {args.out}")
+
+
+def _cmd_localize(args):
+    from sgtd_tpu.config import SGTDConfig
+    from sgtd_tpu.eval.runner import build_map_index, evaluate
+    from sgtd_tpu.io.graph_json import read_graph_dir
+
+    cfg = SGTDConfig()
+    map_graphs = read_graph_dir(args.map_graphs, cfg)
+    query_graphs = read_graph_dir(args.query_graphs, cfg)
+    print(
+        f"[localize] map={len(map_graphs)} queries={len(query_graphs)}",
+        file=sys.stderr,
+    )
+    index = build_map_index(map_graphs, cfg)
+    out = evaluate(index, query_graphs, batch_size=args.batch_size)
+    print(json.dumps(out, indent=2))
+
+
+def _cmd_eval_synth(args):
+    from sgtd_tpu.config import SGTDConfig
+    from sgtd_tpu.data.synthetic import make_map_and_queries
+    from sgtd_tpu.eval.runner import build_map_index, evaluate
+
+    cfg = SGTDConfig()
+    maps, queries, _ = make_map_and_queries(
+        cfg,
+        seed=args.seed,
+        num_map_frames=args.map_frames,
+        num_queries=args.queries,
+        center_noise_m=0.05,
+        dropout=0.1,
+        label_corrupt_rate=args.label_corrupt_rate,
+    )
+    index = build_map_index(maps, cfg)
+    out = evaluate(index, queries, batch_size=min(16, args.queries))
+    print(json.dumps(out, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="sgtd_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-map", help="raw scans -> semantic graph JSONs")
+    b.add_argument("--scans", required=True)
+    b.add_argument("--labels", required=True)
+    b.add_argument("--poses", default=None)
+    b.add_argument("--calib", default=None)
+    b.add_argument("--dataset", choices=["kitti", "mulran", "raw"], default="kitti")
+    b.add_argument("--sequence", default=None)
+    b.add_argument("--label-corrupt-rate", type=float, default=0.0)
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=_cmd_build_map)
+
+    l = sub.add_parser("localize", help="map+query graph dirs -> metrics")
+    l.add_argument("--map-graphs", required=True)
+    l.add_argument("--query-graphs", required=True)
+    l.add_argument("--batch-size", type=int, default=16)
+    l.set_defaults(fn=_cmd_localize)
+
+    e = sub.add_parser("eval-synth", help="synthetic-world evaluation")
+    e.add_argument("--map-frames", type=int, default=100)
+    e.add_argument("--queries", type=int, default=32)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--label-corrupt-rate", type=float, default=0.05)
+    e.set_defaults(fn=_cmd_eval_synth)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

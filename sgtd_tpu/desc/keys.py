@@ -81,6 +81,26 @@ _OFFSETS = np.stack(
 ).reshape(27, 3)
 
 
+def probe_cells(
+    sides: jnp.ndarray, labels: jnp.ndarray, cfg: DescriptorConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Query cells over the 27-voxel neighbourhood + the 1.5-cell gate.
+
+    Returns (cells (..., 27) int32 flat cell ids for the direct-addressed
+    cell table, code (...,) int32 packed label triple, gate (..., 27) bool).
+    Same probe semantics as :func:`probe_keys` but split into the (cell,
+    code) pair the sorted DB is laid out by.
+    """
+    extent = key_extent(cfg)
+    offs = jnp.asarray(_OFFSETS, dtype=jnp.float32)  # (27, 3)
+    voxel = jnp.trunc(sides[..., None, :] + offs).astype(jnp.int32)
+    center = voxel.astype(jnp.float32) + 0.5
+    gate = jnp.linalg.norm(sides[..., None, :] - center, axis=-1) < 1.5
+    v = jnp.clip(voxel, 0, extent - 1)
+    cells = (v[..., 0] * extent + v[..., 1]) * extent + v[..., 2]
+    return cells, pack_label_code(labels), gate
+
+
 def probe_keys(
     sides: jnp.ndarray, labels: jnp.ndarray, cfg: DescriptorConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

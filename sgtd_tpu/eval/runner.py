@@ -1,0 +1,121 @@
+"""End-to-end evaluation runner: the analog of the reference's benchmark node.
+
+Replicates the main loop of ``semantic_graph_localization``
+(src/sgtd/src/semantic_graph_localization.cpp:352-646): load map keyframe
+graphs, build the descriptor DB, localize every query graph, and report
+SR/RMSE/Recall@K/timing with the reference's metric definitions. Works from
+reference-format JSON graph directories or in-memory SemanticGraph lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgtd_tpu.config import SGTDConfig
+from sgtd_tpu.db.database import DescriptorDB, build_database_stacked, tuned_config
+from sgtd_tpu.desc.triangles import build_descriptors
+from sgtd_tpu.eval.metrics import EvalAccumulator
+from sgtd_tpu.graph.types import SemanticGraph
+from sgtd_tpu.match.pipeline import localize
+
+
+def stack_graphs(graphs: Sequence[SemanticGraph]) -> SemanticGraph:
+    return SemanticGraph(
+        *(
+            jnp.stack([getattr(g, f) for g in graphs])
+            for f in SemanticGraph._fields
+        )
+    )
+
+
+@dataclasses.dataclass
+class MapIndex:
+    db: DescriptorDB
+    config: SGTDConfig  # bucket-cap-tuned
+    build_seconds: float
+    report: object
+
+
+def build_map_index(
+    map_graphs: Sequence[SemanticGraph], config: SGTDConfig
+) -> MapIndex:
+    """Build the descriptor DB from keyframe graphs (one vmapped pass).
+
+    The ~seconds cost matches the reference's startup DB rebuild
+    (src/readme.txt:5) and is excluded from query timing, as there.
+    """
+    t0 = time.time()
+    batch = stack_graphs(map_graphs)
+    build_many = jax.jit(
+        jax.vmap(
+            functools.partial(
+                build_descriptors, cfg=config.desc, caps=config.caps
+            )
+        )
+    )
+    descs = jax.block_until_ready(build_many(batch))
+    db, report = build_database_stacked(
+        descs,
+        [np.asarray(g.pose) for g in map_graphs],
+        config.desc,
+        config.caps,
+    )
+    return MapIndex(
+        db=db,
+        config=tuned_config(config, report),
+        build_seconds=time.time() - t0,
+        report=report,
+    )
+
+
+def evaluate(
+    index: MapIndex,
+    query_graphs: Sequence[SemanticGraph],
+    batch_size: int = 16,
+    gt_poses: Optional[Sequence[np.ndarray]] = None,
+) -> dict:
+    """Localize every query; return the reference-style metric summary.
+
+    gt_poses defaults to each query graph's own pose field (the reference
+    reads GT from the graph JSON the same way,
+    semantic_graph_localization.cpp:627-638).
+    """
+    cfg = index.config
+    loc_fn = jax.jit(
+        jax.vmap(functools.partial(localize, config=cfg), in_axes=(None, 0))
+    )
+    acc = EvalAccumulator(cfg)
+    n = len(query_graphs)
+    if gt_poses is None:
+        gt_poses = [np.asarray(g.pose) for g in query_graphs]
+
+    i = 0
+    while i < n:
+        chunk = list(query_graphs[i : i + batch_size])
+        pad = batch_size - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        batch = stack_graphs(chunk_p)
+        t0 = time.time()
+        res = jax.block_until_ready(loc_fn(index.db, batch))
+        dt_ms = (time.time() - t0) * 1000.0 / len(chunk)
+        for k in range(len(chunk)):
+            acc.add(
+                np.asarray(gt_poses[i + k]),
+                np.asarray(res.poses[k][0]),
+                np.asarray(res.poses[k]),
+                time_ms=dt_ms,
+            )
+        i += batch_size
+
+    out = acc.summary()
+    out["map_build_seconds"] = index.build_seconds
+    out["db_rows"] = index.report.num_rows
+    return out

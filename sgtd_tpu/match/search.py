@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from sgtd_tpu.config import CapacityConfig, DescriptorConfig, SearchConfig
 from sgtd_tpu.db.database import DescriptorDB
-from sgtd_tpu.desc.keys import probe_keys
+from sgtd_tpu.desc.keys import probe_cells
 from sgtd_tpu.desc.triangles import Descriptors
 
 
@@ -62,6 +62,7 @@ def probe_and_hits(
     cfg: DescriptorConfig,
     search: SearchConfig,
     caps: CapacityConfig,
+    row_offset: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Stage 1: bucket probes + rough filter on (a shard of) the DB.
 
@@ -69,37 +70,83 @@ def probe_and_hits(
     holds the frame id of each kept hit or F (sentinel) for empty slots.
     The vote tally counts *all* hits (exact parity); sel_* is the compacted
     per-descriptor hit list used only for verification pair lists.
+
+    ``row_offset``: when the DB rows are a contiguous shard of a larger
+    table, the global row index of this shard's first row — the (global)
+    cell_start offsets are clipped into the local range.
     """
     d_max = query.sides.shape[0]
     b_cap = caps.bucket_cap
     m_rows = db.keys.shape[0]
 
-    # --- 27-neighbourhood probes -> bucket ranges. ---
-    keys, gate = probe_keys(query.sides, query.labels, cfg)  # (D, 27)
-    start = jnp.searchsorted(db.keys, keys, side="left")
-    end = jnp.searchsorted(db.keys, keys, side="right")
+    # --- 27-neighbourhood probes -> O(1) cell-table cell ranges, then an
+    # unrolled binary search over the (sorted) codes inside each cell for the
+    # exact (cell, code) bucket. ~32 tiny gathers replace a full searchsorted
+    # over the row table (measured 28-36 ms/query on v5e) while keeping
+    # buckets tight (scanning a whole cell costs bucket_cap x #codes).
+    cells, code, gate = probe_cells(query.sides, query.labels, cfg)  # (D, 27)
+    cs = db.cell_start[cells]
+    ce = db.cell_start[cells + 1]
+    if row_offset is not None:
+        # Shard-local view first: codes below are this shard's rows. A cell
+        # split across shards stays code-sorted within each contiguous chunk.
+        cs = jnp.clip(cs - row_offset, 0, m_rows)
+        ce = jnp.clip(ce - row_offset, 0, m_rows)
+    code_b = code[:, None]  # (D, 1) broadcast over probes
+
+    def lower_bound(strict: bool):
+        def step(_, state):
+            lo, hi = state
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            cmid = db.codes[jnp.minimum(mid, m_rows - 1)]
+            go_right = (cmid < code_b) if strict else (cmid <= code_b)
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+            return lo, hi
+
+        # 16 bisection steps cover cells up to 65536 rows (enforced at DB
+        # build). Rolled loop: the unrolled chain of gathers sends XLA:CPU
+        # compilation into the weeds (>minutes); TPU is fine either way.
+        lo, _ = jax.lax.fori_loop(0, 16, step, (cs, ce))
+        return lo
+
+    start = lower_bound(True)
+    end = lower_bound(False)
 
     # --- gather bucket rows and apply the rough side-length filter. ---
+    # The bisection above lands on the exact (cell, code) bucket, so no code
+    # re-check is needed; sides + frame come from just TWO uint32 gathers
+    # per row (16-bit fixed point) — TPU random-gather throughput bounds
+    # this stage, so gathered words are minimized.
     slot = jnp.arange(b_cap, dtype=jnp.int32)  # (B,)
     rows = start[..., None] + slot  # (D, 27, B)
     in_bucket = slot < (end - start)[..., None]
     rows_c = jnp.minimum(rows, m_rows - 1)
 
-    db_sides = db.sides[rows_c]  # (D, 27, B, 3)
-    dis = jnp.linalg.norm(query.sides[:, None, None, :] - db_sides, axis=-1)
-    thr = jnp.linalg.norm(query.sides, axis=-1) * jnp.float32(
-        search.rough_dis_threshold
-    )
+    lo = db.packed_lo[rows_c]  # (D, 27, B) uint32
+    hi = db.packed_hi[rows_c]
+    inv256 = jnp.float32(1.0 / 256.0)
+    sa = (lo & 0xFFFF).astype(jnp.float32) * inv256
+    sb = (lo >> 16).astype(jnp.float32) * inv256
+    sc = (hi & 0xFFFF).astype(jnp.float32) * inv256
+    frame_of_hit = (hi >> 16).astype(jnp.int32)
+
+    q = query.sides  # (D, 3)
+    da = sa - q[:, 0, None, None]
+    db_ = sb - q[:, 1, None, None]
+    dc = sc - q[:, 2, None, None]
+    dis2 = da * da + db_ * db_ + dc * dc
+    thr2 = jnp.sum(q * q, axis=-1) * jnp.float32(search.rough_dis_threshold) ** 2
     hit = (
         in_bucket
         & gate[..., None]
         & query.mask[:, None, None]
-        & (dis < thr[:, None, None])
+        & (dis2 < thr2[:, None, None])
     )  # (D, 27, B)
 
     # --- exact per-frame vote tally (ref match_array, STDesc.cpp:410-412). ---
     f_pad = db.frame_poses.shape[0]
-    frame_of_hit = db.frame_ids[rows_c]
     votes = jax.ops.segment_sum(
         hit.astype(jnp.float32).ravel(),
         frame_of_hit.ravel(),

@@ -28,6 +28,7 @@ from sgtd_tpu.config import SearchConfig
 from sgtd_tpu.db.database import DescriptorDB
 from sgtd_tpu.desc.triangles import Descriptors
 from sgtd_tpu.match.search import CandidateSet
+from sgtd_tpu.ops.linalg3 import kabsch
 
 
 class VerifyResult(NamedTuple):
@@ -50,24 +51,12 @@ def triangle_solver(src_verts: jnp.ndarray, ref_verts: jnp.ndarray):
 
     src_verts/ref_verts: (..., 3, 3) with rows A, B, C.
     Returns (rot (..., 3, 3), t (..., 3)) such that rot @ src + t ~= ref.
-    Mirrors STDesc.cpp:549-571 (SVD of the centred cross-covariance,
-    reflection fixed by negating the last right-singular vector).
+    Same optimum as the reference's SVD + reflection fix (STDesc.cpp:549-571)
+    computed with the quaternion Kabsch (always a proper rotation) — XLA's
+    generic batched SVD is an order of magnitude slower on TPU for tiny
+    matrices (see sgtd_tpu.ops.linalg3).
     """
-    src_c = jnp.mean(src_verts, axis=-2, keepdims=True)
-    ref_c = jnp.mean(ref_verts, axis=-2, keepdims=True)
-    s = src_verts - src_c
-    r = ref_verts - ref_c
-    cov = jnp.swapaxes(s, -1, -2) @ r  # sum_k s_k (x) r_k
-    u, _, vh = jnp.linalg.svd(cov, full_matrices=True)
-    v = jnp.swapaxes(vh, -1, -2)
-    ut = jnp.swapaxes(u, -1, -2)
-    rot = v @ ut
-    det = jnp.linalg.det(rot)
-    flip = jnp.where(det < 0, -1.0, 1.0)[..., None]
-    v_fixed = v.at[..., :, 2].multiply(flip)
-    rot = v_fixed @ ut
-    t = ref_c[..., 0, :] - jnp.einsum("...ij,...j->...i", rot, src_c[..., 0, :])
-    return rot, t
+    return kabsch(src_verts, ref_verts)
 
 
 @functools.partial(jax.jit, static_argnames=("search",))
@@ -145,19 +134,7 @@ def verify_pairs(
     w3 = jnp.repeat(w, 3, axis=-1).reshape(c, -1)  # (C, 3P) per-vertex weight
     fq = vq.reshape(c, -1, 3)
     fdb = vdb.reshape(c, -1, 3)
-    wsum = jnp.maximum(jnp.sum(w3, axis=-1, keepdims=True), 1e-6)
-    mu_q = jnp.sum(fq * w3[..., None], axis=1) / wsum
-    mu_db = jnp.sum(fdb * w3[..., None], axis=1) / wsum
-    cov = jnp.einsum(
-        "cn,cni,cnj->cij", w3, fq - mu_q[:, None], fdb - mu_db[:, None]
-    )
-    uu, _, vvh = jnp.linalg.svd(cov, full_matrices=True)
-    vv = jnp.swapaxes(vvh, -1, -2)
-    uut = jnp.swapaxes(uu, -1, -2)
-    rot_r = vv @ uut
-    flip = jnp.where(jnp.linalg.det(rot_r) < 0, -1.0, 1.0)[..., None]
-    rot_r = (vv.at[..., :, 2].multiply(flip)) @ uut
-    t_r = mu_db - jnp.einsum("cij,cj->ci", rot_r, mu_q)
+    rot_r, t_r = kabsch(fq, fdb, weights=w3)
     # Fall back to the sampled hypothesis when refinement is degenerate
     # (< 2 inlier pairs cannot over-determine the transform).
     n_inl = jnp.sum(inl_b.astype(jnp.int32), axis=-1)

@@ -43,9 +43,12 @@ def db_sharding(mesh: Mesh):
 
     return DescriptorDB(
         keys=NamedSharding(mesh, P("db")),
-        sides=NamedSharding(mesh, P("db", None)),
+        codes=NamedSharding(mesh, P("db")),
+        packed_lo=NamedSharding(mesh, P("db")),
+        packed_hi=NamedSharding(mesh, P("db")),
         vertices=NamedSharding(mesh, P("db", None, None)),
         frame_ids=NamedSharding(mesh, P("db")),
+        cell_start=NamedSharding(mesh, P(None)),
         frame_poses=NamedSharding(mesh, P(None, None, None)),
         frame_valid=NamedSharding(mesh, P(None)),
     )

@@ -52,8 +52,13 @@ def _localize_one_sharded(db_local: DescriptorDB, query: Descriptors, config: SG
     p_total = config.caps.pairs_per_candidate
     p_local = max(p_total // n_db, 1)
 
+    # This shard holds rows [offset, offset + m_local) of the global table;
+    # the replicated cell_start offsets are clipped into that range.
+    m_local = db_local.keys.shape[0]
+    offset = jax.lax.axis_index("db").astype(jnp.int32) * m_local
     votes_l, sel_row, sel_frame = probe_and_hits(
-        db_local, query, config.desc, config.search, config.caps
+        db_local, query, config.desc, config.search, config.caps,
+        row_offset=offset,
     )
     votes = jax.lax.psum(votes_l, "db")
     cand_votes, cand_frames, cand_valid = select_candidates(votes, config.search)
@@ -99,9 +104,12 @@ def make_sharded_localizer(mesh: Mesh, config: SGTDConfig = SGTDConfig()):
     """
     db_specs = DescriptorDB(
         keys=P("db"),
-        sides=P("db", None),
+        codes=P("db"),
+        packed_lo=P("db"),
+        packed_hi=P("db"),
         vertices=P("db", None, None),
         frame_ids=P("db"),
+        cell_start=P(None),
         frame_poses=P(None, None, None),
         frame_valid=P(None),
     )
