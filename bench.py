@@ -30,7 +30,7 @@ def main():
 
     from sgtd_tpu import SGTDConfig
     from sgtd_tpu.data.synthetic import make_map_and_queries
-    from sgtd_tpu.db import build_database_stacked
+    from sgtd_tpu.db.device_build import build_database_on_device
     from sgtd_tpu.db.database import tuned_config
     from sgtd_tpu.desc import build_descriptors
     from sgtd_tpu.eval.metrics import rpe
@@ -65,9 +65,9 @@ def main():
     build_many = jax.jit(
         jax.vmap(functools.partial(build_descriptors, cfg=cfg.desc, caps=cfg.caps))
     )
-    map_descs = jax.block_until_ready(build_many(map_batch))
-    db, report = build_database_stacked(
-        map_descs, [np.asarray(g.pose) for g in maps], cfg.desc, cfg.caps
+    map_descs = build_many(map_batch)
+    db, report = build_database_on_device(
+        map_descs, map_batch.pose, cfg.desc
     )
     cfg = tuned_config(cfg, report)
     print(

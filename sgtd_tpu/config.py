@@ -71,6 +71,10 @@ class CapacityConfig:
     # buckets, ref STDesc.cpp:372; we cap for static shapes — the DB build
     # reports how many rows exceed this).
     bucket_cap: int = 256
+    # Static cap on the TOTAL ragged bucket-scan length per query (sum of
+    # probed bucket sizes). The scan is exact up to this cap; beyond it the
+    # tail probes are dropped.
+    max_scan_slots: int = 262144
     # Max matches kept per query descriptor for pair extraction (the vote
     # tally itself is exact; this only bounds the verification pair lists).
     hits_per_descriptor: int = 16

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from sgtd_tpu.config import SGTDConfig
-from sgtd_tpu.db.database import DescriptorDB, build_database_stacked, tuned_config
+from sgtd_tpu.db.database import DescriptorDB, tuned_config
+from sgtd_tpu.db.device_build import build_database_on_device
 from sgtd_tpu.desc.triangles import build_descriptors
 from sgtd_tpu.eval.metrics import EvalAccumulator
 from sgtd_tpu.graph.types import SemanticGraph
@@ -61,13 +62,8 @@ def build_map_index(
             )
         )
     )
-    descs = jax.block_until_ready(build_many(batch))
-    db, report = build_database_stacked(
-        descs,
-        [np.asarray(g.pose) for g in map_graphs],
-        config.desc,
-        config.caps,
-    )
+    descs = build_many(batch)
+    db, report = build_database_on_device(descs, batch.pose, config.desc)
     return MapIndex(
         db=db,
         config=tuned_config(config, report),

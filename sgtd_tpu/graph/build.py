@@ -25,7 +25,9 @@ keyed by (class, instance).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,22 +39,62 @@ from sgtd_tpu.graph.types import SemanticGraph
 
 _I32_MAX = np.int32(2**31 - 1)
 
-WHOLE_CLASSES = (10,)
-INSTANCE_CLASSES = (11, 12, 13, 15, 16, 17, 18)
-SMALL_MIN_SEG = {15: 5, 17: 5, 18: 5}
-DEFAULT_MIN_SEG = 300
 GT_MIN_POINTS = 20
-NODE_MAP = {10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8, 16: 9, 17: 10, 18: 11}
 
-# Lookup tables over the 0..31 class-id space.
-_IS_INSTANCE = np.zeros(32, dtype=bool)
-_MIN_SEG = np.zeros(32, dtype=np.float32)
-_NODE_LABEL = np.zeros(32, dtype=np.int32)
-for c in INSTANCE_CLASSES:
-    _IS_INSTANCE[c] = True
-    _MIN_SEG[c] = SMALL_MIN_SEG.get(c, DEFAULT_MIN_SEG)
-for c, v in NODE_MAP.items():
-    _NODE_LABEL[c] = v
+
+@dataclasses.dataclass(frozen=True)
+class ClassRouting:
+    """Static per-dataset class routing (hashable for jit)."""
+
+    whole_classes: Tuple[int, ...]
+    instance_classes: Tuple[int, ...]
+    min_seg: Tuple[Tuple[int, int], ...]  # (class, min_seg) overrides
+    default_min_seg: int
+    node_map: Tuple[Tuple[int, int], ...]
+    keep_lo: int
+    keep_hi: int
+
+    def tables(self):
+        is_inst = np.zeros(32, dtype=bool)
+        min_seg = np.zeros(32, dtype=np.float32)
+        node_label = np.full(32, -1, dtype=np.int32)
+        overrides = dict(self.min_seg)
+        for c in self.instance_classes:
+            is_inst[c] = True
+            min_seg[c] = overrides.get(c, self.default_min_seg)
+        for c, v in self.node_map:
+            node_label[c] = v
+        return is_inst, min_seg, node_label
+
+
+# MulRan/SemanticKITTI train-id routing (ref get_json.cpp, module docstring).
+MULRAN_ROUTING = ClassRouting(
+    whole_classes=(10,),
+    instance_classes=(11, 12, 13, 15, 16, 17, 18),
+    min_seg=((15, 5), (17, 5), (18, 5)),
+    default_min_seg=300,
+    node_map=((10, 3), (11, 4), (12, 5), (13, 6), (14, 7), (15, 8), (16, 9), (17, 10), (18, 11)),
+    keep_lo=3,
+    keep_hi=12,
+)
+
+# Wild-Places forests routing (ref get_json_wild.cpp:10-31,119-180): 13
+# remapped classes; class 1 (dirt) kept whole; sky/water already remapped to
+# 255; tree-foliage (11) dropped; others DCVC with min 100; identity node map.
+WILD_ROUTING = ClassRouting(
+    whole_classes=(1,),
+    instance_classes=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12),
+    min_seg=(),
+    default_min_seg=100,
+    node_map=tuple((c, c) for c in range(13)),
+    keep_lo=0,
+    keep_hi=12,
+)
+
+# Back-compat module constants (MulRan profile).
+WHOLE_CLASSES = MULRAN_ROUTING.whole_classes
+INSTANCE_CLASSES = MULRAN_ROUTING.instance_classes
+NODE_MAP = dict(MULRAN_ROUTING.node_map)
 
 
 def _group_by_key(
@@ -94,7 +136,7 @@ def _group_by_key(
     return pc, centroids, counts, density, ukey, valid
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "dcvc"))
+@functools.partial(jax.jit, static_argnames=("caps", "dcvc", "routing"))
 def build_graph_arrays(
     points: jnp.ndarray,
     sem: jnp.ndarray,
@@ -102,6 +144,7 @@ def build_graph_arrays(
     mask: jnp.ndarray,
     caps: CapacityConfig = CapacityConfig(),
     dcvc: DcvcConfig = DcvcConfig(),
+    routing: ClassRouting = MULRAN_ROUTING,
 ):
     """Cluster one labeled scan into padded node arrays.
 
@@ -110,10 +153,11 @@ def build_graph_arrays(
     Returns (centers (M, 3), labels (M,), density (M,), node_mask (M,)).
     """
     n = points.shape[0]
+    is_inst_tab, min_seg_tab, node_label_tab = routing.tables()
     sem_c = jnp.clip(sem, 0, 31)
-    is_inst_class = jnp.asarray(_IS_INSTANCE)[sem_c] & mask
-    min_seg_lut = jnp.asarray(_MIN_SEG)
-    node_label_lut = jnp.asarray(_NODE_LABEL)
+    is_inst_class = jnp.asarray(is_inst_tab)[sem_c] & mask
+    min_seg_lut = jnp.asarray(min_seg_tab)
+    node_label_lut = jnp.asarray(node_label_tab)
 
     # Which classes have GT instance ids in this scan? (ref :138)
     has_inst_point = is_inst_class & (inst != 0)
@@ -143,7 +187,8 @@ def build_graph_arrays(
 
     # --- whole-kept classes: one instance from all points of the class. ---
     whole = []
-    for c in WHOLE_CLASSES:
+    node_map = dict(routing.node_map)
+    for c in routing.whole_classes:
         cmask = mask & (sem_c == c)
         cnt = jnp.sum(cmask.astype(jnp.float32))
         denom = jnp.maximum(cnt, 1.0)
@@ -153,7 +198,7 @@ def build_graph_arrays(
         whole.append(
             (
                 centroid[None],
-                jnp.full((1,), NODE_MAP[c], jnp.int32),
+                jnp.full((1,), node_map[c], jnp.int32),
                 density[None],
                 (cnt > 0)[None],
             )
@@ -166,8 +211,8 @@ def build_graph_arrays(
     density = jnp.concatenate([w[2] for w in whole] + [dcvc_res.density, gt_den])
     valid = jnp.concatenate([w[3] for w in whole] + [dcvc_res.valid, gt_valid])
 
-    # Node labels must land in [3, 12] (ref :288).
-    valid = valid & (labels >= 3) & (labels <= 12)
+    # Node labels must land in the keep range (ref :288).
+    valid = valid & (labels >= routing.keep_lo) & (labels <= routing.keep_hi)
 
     # Compact to max_nodes, preserving (source, cluster-slot) order.
     m = caps.max_nodes
@@ -191,9 +236,10 @@ def build_graph(
     pose: jnp.ndarray,
     caps: CapacityConfig = CapacityConfig(),
     dcvc: DcvcConfig = DcvcConfig(),
+    routing: ClassRouting = MULRAN_ROUTING,
 ) -> SemanticGraph:
     centers, labels, density, node_mask = build_graph_arrays(
-        points, sem, inst, mask, caps, dcvc
+        points, sem, inst, mask, caps, dcvc, routing
     )
     return SemanticGraph(
         centers=centers,

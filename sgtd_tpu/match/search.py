@@ -76,7 +76,7 @@ def probe_and_hits(
     cell_start offsets are clipped into the local range.
     """
     d_max = query.sides.shape[0]
-    b_cap = caps.bucket_cap
+
     m_rows = db.keys.shape[0]
 
     # --- 27-neighbourhood probes -> O(1) cell-table cell ranges, then an
@@ -114,43 +114,52 @@ def probe_and_hits(
     start = lower_bound(True)
     end = lower_bound(False)
 
-    # --- gather bucket rows and apply the rough side-length filter. ---
-    # The bisection above lands on the exact (cell, code) bucket, so no code
-    # re-check is needed; sides + frame come from just TWO uint32 gathers
-    # per row (16-bit fixed point) — TPU random-gather throughput bounds
-    # this stage, so gathered words are minimized.
-    slot = jnp.arange(b_cap, dtype=jnp.int32)  # (B,)
-    rows = start[..., None] + slot  # (D, 27, B)
-    in_bucket = slot < (end - start)[..., None]
-    rows_c = jnp.minimum(rows, m_rows - 1)
+    # --- ragged (CSR-style) bucket scan. ---
+    # Bucket depths are highly skewed; a dense (D, 27, max_bucket) scan is
+    # ~90% padding. Instead the exact per-probe bucket lengths are expanded
+    # into one flat job list via jnp.repeat (cumsum + scatter under the
+    # hood), so gather/scatter work equals the true total bucket occupancy,
+    # padded only up to the static caps.max_scan_slots. The bisection above
+    # lands on the exact (cell, code) bucket, so no code re-check is needed;
+    # sides + frame come from TWO uint32 gathers per row (16-bit fixed
+    # point) — TPU random-gather throughput bounds this stage.
+    probe_ok = gate & query.mask[:, None]
+    length = jnp.where(probe_ok, end - start, 0).ravel()  # (D*27,)
+    n_jobs = d_max * 27
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(length, dtype=jnp.int32)]
+    )  # (D*27+1,)
+    total = offsets[-1]
+    l_max = caps.max_scan_slots
+    slot = jnp.arange(l_max, dtype=jnp.int32)
+    job = jnp.repeat(
+        jnp.arange(n_jobs, dtype=jnp.int32), length, total_repeat_length=l_max
+    )
+    slot_valid = slot < total
+    row = start.ravel()[job] + (slot - offsets[job])
+    row_c = jnp.clip(row, 0, m_rows - 1)
+    desc = job // 27  # (L,) nondecreasing
 
-    lo = db.packed_lo[rows_c]  # (D, 27, B) uint32
-    hi = db.packed_hi[rows_c]
+    lo_w = db.packed_lo[row_c]  # (L,) uint32
+    hi_w = db.packed_hi[row_c]
     inv256 = jnp.float32(1.0 / 256.0)
-    sa = (lo & 0xFFFF).astype(jnp.float32) * inv256
-    sb = (lo >> 16).astype(jnp.float32) * inv256
-    sc = (hi & 0xFFFF).astype(jnp.float32) * inv256
-    frame_of_hit = (hi >> 16).astype(jnp.int32)
+    sa = (lo_w & 0xFFFF).astype(jnp.float32) * inv256
+    sb = (lo_w >> 16).astype(jnp.float32) * inv256
+    sc = (hi_w & 0xFFFF).astype(jnp.float32) * inv256
+    frame_of_hit = (hi_w >> 16).astype(jnp.int32)
 
     q = query.sides  # (D, 3)
-    da = sa - q[:, 0, None, None]
-    db_ = sb - q[:, 1, None, None]
-    dc = sc - q[:, 2, None, None]
+    da = sa - q[desc, 0]
+    db_ = sb - q[desc, 1]
+    dc = sc - q[desc, 2]
     dis2 = da * da + db_ * db_ + dc * dc
     thr2 = jnp.sum(q * q, axis=-1) * jnp.float32(search.rough_dis_threshold) ** 2
-    hit = (
-        in_bucket
-        & gate[..., None]
-        & query.mask[:, None, None]
-        & (dis2 < thr2[:, None, None])
-    )  # (D, 27, B)
+    hit = slot_valid & (dis2 < thr2[desc])  # (L,)
 
     # --- exact per-frame vote tally (ref match_array, STDesc.cpp:410-412). ---
     f_pad = db.frame_poses.shape[0]
     votes = jax.ops.segment_sum(
-        hit.astype(jnp.float32).ravel(),
-        frame_of_hit.ravel(),
-        num_segments=f_pad,
+        hit.astype(jnp.float32), frame_of_hit, num_segments=f_pad
     )
     votes = jnp.where(db.frame_valid, votes, 0.0)
 
@@ -158,19 +167,27 @@ def probe_and_hits(
     # The tally above is exact; pair lists are bounded by hits_per_descriptor
     # per query descriptor and pairs_per_candidate per frame (the reference
     # also subsamples pairs before verification, STDesc.cpp:467-468).
+    # Per-descriptor hit ranks via a segment-relative cumsum (desc ids are
+    # nondecreasing along the flat job list).
     u = caps.hits_per_descriptor
-    flat_hit = hit.reshape(d_max, -1)  # (D, 27*B)
-    n_pb = flat_hit.shape[1]
-    rank = jnp.where(
-        flat_hit,
-        jnp.int32(n_pb) - jnp.arange(n_pb, dtype=jnp.int32)[None, :],
-        0,
+    hcum = jnp.cumsum(hit.astype(jnp.int32))  # inclusive
+    desc_first_slot = offsets[jnp.arange(d_max) * 27]  # (D,)
+    hcum_ext = jnp.concatenate([jnp.zeros((1,), jnp.int32), hcum])
+    before_desc = hcum_ext[jnp.clip(desc_first_slot, 0, l_max)]  # (D,)
+    rank_in_desc = hcum - 1 - before_desc[desc]  # valid where hit
+    keep = hit & (rank_in_desc < u)
+    sd = jnp.where(keep, desc, d_max)  # dump row for non-kept
+    si = jnp.where(keep, rank_in_desc, 0)
+    sel_row = (
+        jnp.zeros((d_max + 1, u), jnp.int32).at[sd, si].set(row_c)[:d_max]
     )
-    sel_rank, sel_pos = jax.lax.top_k(rank, u)  # (D, U), earliest hits first
-    sel_valid = sel_rank > 0
-    flat_rows = rows_c.reshape(d_max, -1)
-    sel_row = jnp.take_along_axis(flat_rows, sel_pos, axis=1)  # (D, U)
-    sel_frame = jnp.where(sel_valid, db.frame_ids[sel_row], f_pad)
+    sel_ok = (
+        jnp.zeros((d_max + 1, u), bool).at[sd, si].set(True)[:d_max]
+    )
+    sel_frame_v = (
+        jnp.zeros((d_max + 1, u), jnp.int32).at[sd, si].set(frame_of_hit)[:d_max]
+    )
+    sel_frame = jnp.where(sel_ok, sel_frame_v, f_pad)
     return votes, sel_row, sel_frame
 
 

@@ -1,0 +1,175 @@
+"""Multi-session SLAM: loop-closure localization + pose-graph refinement.
+
+Capability beyond the reference's one-shot evaluation loop: a drifting
+session trajectory is corrected by anchoring it to a prior map. Per session
+scan, the descriptor pipeline proposes loop closures (keyframe + relative
+pose, sgtd_tpu.match); accepted closures become factors in a pose graph over
+[map keyframes (anchored) + session nodes] together with the session's
+odometry chain, optimized with sgtd_tpu.backend.pgo. This is the
+localization -> PGO -> (optional BA) glue the reference lists GTSAM/Ceres
+for but never implements (SURVEY.md 2.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgtd_tpu.backend.pgo import PoseGraph, optimize_pose_graph
+from sgtd_tpu.config import SGTDConfig
+from sgtd_tpu.db.database import DescriptorDB
+from sgtd_tpu.eval.runner import stack_graphs
+from sgtd_tpu.geom import se3
+from sgtd_tpu.graph.types import SemanticGraph
+from sgtd_tpu.match.pipeline import localize
+
+
+class SessionResult(NamedTuple):
+    """Corrected session trajectory + loop-closure bookkeeping.
+
+    poses:       (S, 4, 4) optimized session poses (world frame).
+    num_loops:   () int — accepted loop closures.
+    loop_frames: (S,) int32 — matched map keyframe per scan (-1 = none).
+    loop_scores: (S,) float32.
+    """
+
+    poses: np.ndarray
+    num_loops: int
+    loop_frames: np.ndarray
+    loop_scores: np.ndarray
+
+
+def localize_and_optimize_session(
+    db: DescriptorDB,
+    session_graphs: Sequence[SemanticGraph],
+    odom_poses: np.ndarray,
+    config: SGTDConfig = SGTDConfig(),
+    min_loop_score: float | None = None,
+    loop_weight: float = 10.0,
+    odom_weight: float = 1.0,
+    pgo_iterations: int = 10,
+    loop_outlier_m: float = 5.0,
+) -> SessionResult:
+    """Correct a drifting session against a prior map.
+
+    odom_poses: (S, 4, 4) the session's odometry estimates (world frame,
+    drifting). session_graphs[i] is scan i's semantic graph (its ``pose``
+    field is ignored here — odometry provides the initial values).
+    """
+    s_n = len(session_graphs)
+    f_n = db.frame_poses.shape[0]
+    if min_loop_score is None:
+        min_loop_score = config.search.icp_threshold
+
+    # Batched loop-closure proposals.
+    loc = jax.jit(
+        jax.vmap(functools.partial(localize, config=config), in_axes=(None, 0))
+    )
+    res = loc(db, stack_graphs(session_graphs))
+    found = np.asarray(res.found)
+    best_frame = np.asarray(res.best_frame)
+    best_score = np.asarray(res.best_score)
+    rot = np.asarray(res.rot[:, 0])
+    trans = np.asarray(res.trans[:, 0])
+
+    accept = found & (best_score > min_loop_score)
+
+    # Outlier rejection before optimization (a descriptor match that clears
+    # the verify gate can still be a false positive; the reference reranks
+    # with GICP for the same reason, semantic_graph_localization.cpp:672-722).
+    # Each loop to the anchored map implies an absolute session-node pose;
+    # odometry is locally accurate, so for any two accepted loops the
+    # implied relative motion must agree with the odometry relative motion
+    # (pairwise-consistency pruning). Keep loops consistent with the
+    # majority.
+    frame_poses_np = np.asarray(db.frame_poses, np.float64)
+    odom_np = np.asarray(odom_poses, np.float64)
+    idxs = np.nonzero(accept)[0]
+    if len(idxs) >= 2:
+        implied = {}
+        for i in idxs:
+            T_loop = np.eye(4)
+            T_loop[:3, :3] = rot[i]
+            T_loop[:3, 3] = trans[i]
+            implied[i] = frame_poses_np[best_frame[i]] @ T_loop
+        consistent = np.zeros(len(idxs), np.int32)
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                ia, ib = idxs[a], idxs[b]
+                rel_loop = np.linalg.inv(implied[ia]) @ implied[ib]
+                rel_odom = np.linalg.inv(odom_np[ia]) @ odom_np[ib]
+                d = np.linalg.norm(rel_loop[:3, 3] - rel_odom[:3, 3])
+                if d < loop_outlier_m:
+                    consistent[a] += 1
+                    consistent[b] += 1
+        majority = consistent >= max(1, (len(idxs) - 1) // 2)
+        for k, good in zip(idxs, majority):
+            if not good:
+                accept[k] = False
+
+    loop_frames = np.where(accept, best_frame, -1).astype(np.int32)
+    n_loops = int(accept.sum())
+
+    # Pose graph: nodes [0..F) = map keyframes (anchored), [F..F+S) session.
+    init = np.concatenate(
+        [np.asarray(db.frame_poses), np.asarray(odom_poses, np.float32)]
+    )
+    anchor = np.zeros(f_n + s_n, bool)
+    anchor[:f_n] = True
+    # With no accepted loops, anchor the first session node for gauge.
+    if n_loops == 0:
+        anchor[f_n] = True
+
+    # Odometry chain factors.
+    oi = np.arange(s_n - 1, dtype=np.int32) + f_n
+    oj = oi + 1
+    odom = np.asarray(odom_poses, np.float64)
+    ot = np.stack(
+        [np.linalg.inv(odom[i]) @ odom[i + 1] for i in range(s_n - 1)]
+    ).astype(np.float32)
+    ow = np.full(s_n - 1, odom_weight, np.float32)
+
+    # Loop factors keyframe -> session node. Localization returns T_loop
+    # with T_world<-session = T_world<-kf @ T_loop (match.pipeline), so the
+    # measured relative pose T_kf^-1 T_session is T_loop itself.
+    li, lj, lt, lw = [], [], [], []
+    for i in range(s_n):
+        if loop_frames[i] < 0:
+            continue
+        T_loop = np.eye(4, dtype=np.float64)
+        T_loop[:3, :3] = rot[i]
+        T_loop[:3, 3] = trans[i]
+        li.append(loop_frames[i])
+        lj.append(f_n + i)
+        lt.append(T_loop.astype(np.float32))
+        lw.append(loop_weight)
+    if li:
+        edge_i = np.concatenate([oi, np.asarray(li, np.int32)])
+        edge_j = np.concatenate([oj, np.asarray(lj, np.int32)])
+        t_meas = np.concatenate([ot, np.stack(lt)])
+        weight = np.concatenate([ow, np.asarray(lw, np.float32)])
+    else:
+        edge_i, edge_j, t_meas, weight = oi, oj, ot, ow
+
+    pg = PoseGraph(
+        poses=jnp.asarray(init),
+        edge_i=jnp.asarray(edge_i),
+        edge_j=jnp.asarray(edge_j),
+        t_meas=jnp.asarray(t_meas),
+        weight=jnp.asarray(weight),
+        anchor=jnp.asarray(anchor),
+    )
+    out = np.asarray(optimize_pose_graph(pg, iterations=pgo_iterations))
+
+    return SessionResult(
+        poses=out[f_n:],
+        num_loops=n_loops,
+        loop_frames=loop_frames,
+        loop_scores=best_score.astype(np.float32),
+    )

@@ -123,3 +123,42 @@ def test_build_graph_class_routing(rng, small_config):
     assert len(labels) == 4
     b_center = centers[labels == 5][0]
     np.testing.assert_allclose(b_center, [20.0, -10.0, 3.0], atol=0.5)
+
+
+def test_wild_routing(rng, small_config):
+    """Wild-Places profile: dirt kept whole, tree-foliage dropped,
+    identity node labels."""
+    from sgtd_tpu.graph.build import WILD_ROUTING
+    from sgtd_tpu.graph.build import build_graph
+
+    dcvc_cfg = DcvcConfig(max_points=2048, max_voxels=2048, max_clusters=16)
+    clouds, sems = [], []
+    # dirt (1): scattered ground -> one whole node labelled 1.
+    g = np.column_stack(
+        [rng.uniform(-20, 20, 300), rng.uniform(-20, 20, 300), rng.normal(0, 0.05, 300)]
+    )
+    clouds.append(g); sems.append(np.full(300, 1))
+    # tree-trunk (13 raw -> 12 remapped): tight blob, min_seg 100.
+    t = np.array([8.0, 3.0, 1.0]) + rng.normal(0, 0.2, (150, 3))
+    clouds.append(t); sems.append(np.full(150, 12))
+    # tree-foliage (11): dropped.
+    f = np.array([-6.0, 5.0, 4.0]) + rng.normal(0, 0.5, (200, 3))
+    clouds.append(f); sems.append(np.full(200, 11))
+
+    pts = np.concatenate(clouds).astype(np.float32)
+    sem = np.concatenate(sems).astype(np.int32)
+    n_max = 2048
+    pad = n_max - len(pts)
+    mask = np.zeros(n_max, bool); mask[: len(pts)] = True
+    graph = build_graph(
+        jnp.asarray(np.pad(pts, ((0, pad), (0, 0)))),
+        jnp.asarray(np.pad(sem, (0, pad))),
+        jnp.asarray(np.zeros(n_max, np.int32)),
+        jnp.asarray(mask),
+        np.eye(4, dtype=np.float32),
+        small_config.caps, dcvc_cfg, WILD_ROUTING,
+    )
+    labels = np.asarray(graph.labels)[np.asarray(graph.mask)]
+    assert np.sum(labels == 1) == 1   # dirt whole
+    assert np.sum(labels == 12) == 1  # trunk cluster
+    assert np.sum(labels == 11) == 0  # foliage dropped

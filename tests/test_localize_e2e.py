@@ -92,3 +92,30 @@ def test_db_save_load_roundtrip(world_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(res1.poses), np.asarray(res2.poses), atol=1e-6
     )
+
+
+def test_device_build_matches_host_build(world_setup):
+    """On-device DB assembly produces results identical to the host build."""
+    import jax
+    from sgtd_tpu.db.database import build_database_stacked, stack_descriptor_arrays
+    from sgtd_tpu.db.device_build import build_database_on_device
+    from sgtd_tpu.desc.triangles import build_descriptors
+
+    cfg, map_graphs, query_graphs, _, db_host, rep_host = world_setup
+    descs = [build_descriptors(g, cfg.desc, cfg.caps) for g in map_graphs]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *descs
+    )
+    db_dev, rep_dev = build_database_on_device(
+        stacked, jnp.stack([g.pose for g in map_graphs]), cfg.desc
+    )
+    assert rep_dev.num_rows == rep_host.num_rows
+    assert rep_dev.max_bucket == rep_host.max_bucket
+    assert rep_dev.num_cells == rep_host.num_cells
+    # Same localization results.
+    res_h = localize(db_host, query_graphs[0], cfg)
+    res_d = localize(db_dev, query_graphs[0], cfg)
+    assert int(res_h.best_frame) == int(res_d.best_frame)
+    np.testing.assert_allclose(
+        np.asarray(res_h.votes), np.asarray(res_d.votes), atol=0
+    )
