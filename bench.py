@@ -26,6 +26,7 @@ import numpy as np
 
 def main():
     import jax
+
     import jax.numpy as jnp
 
     from sgtd_tpu import SGTDConfig

@@ -112,6 +112,22 @@ def _cmd_eval_synth(args):
     )
     index = build_map_index(maps, cfg)
     out = evaluate(index, queries, batch_size=min(16, args.queries))
+    if args.plot:
+        from sgtd_tpu.eval.plotting import plot_localization
+
+        # Re-run localization for the plot (cheap at this scale).
+        import functools
+        import jax
+        from sgtd_tpu.eval.runner import stack_graphs
+        from sgtd_tpu.match.pipeline import localize
+
+        loc = jax.jit(jax.vmap(functools.partial(localize, config=index.config), in_axes=(None, 0)))
+        res = loc(index.db, stack_graphs(queries))
+        gt = np.stack([np.asarray(g.pose) for g in queries])
+        est = np.asarray(res.poses[:, 0])
+        succ = np.asarray(res.found)
+        path = plot_localization(args.plot, np.stack([np.asarray(g.pose) for g in maps]), gt, est, succ)
+        out["plot"] = path
     print(json.dumps(out, indent=2))
 
 
@@ -141,6 +157,7 @@ def main(argv=None):
     e.add_argument("--queries", type=int, default=32)
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--label-corrupt-rate", type=float, default=0.05)
+    e.add_argument("--plot", default=None, help="write a trajectory PNG here")
     e.set_defaults(fn=_cmd_eval_synth)
 
     args = ap.parse_args(argv)

@@ -78,6 +78,10 @@ class CapacityConfig:
     # Max matches kept per query descriptor for pair extraction (the vote
     # tally itself is exact; this only bounds the verification pair lists).
     hits_per_descriptor: int = 16
+    # Max query probes sharing one exact probe key scanned per DB row during
+    # candidate-major pair extraction (distinct descriptors rarely share a
+    # quantised key after dedup).
+    probes_per_key: int = 8
     # Max match pairs per candidate frame fed to verification.
     pairs_per_candidate: int = 512
     # Max keyframes in the descriptor database (ref MAX_FRAME_N = 20000,

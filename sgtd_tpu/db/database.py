@@ -49,6 +49,9 @@ class DescriptorDB(NamedTuple):
     frame_ids:   (M,) int32 — owning keyframe.
     cell_start:  (extent^3 + 1,) int32 — row offset of each quantised cell;
                  rows of cell c are [cell_start[c], cell_start[c+1]).
+    frame_rows:  (M,) int32 — key-sorted row ids grouped by keyframe
+                 (candidate-major pair extraction scans them contiguously).
+    frame_start: (F + 1,) int32 — offsets into frame_rows per keyframe.
     frame_poses: (F, 4, 4) float32 — keyframe poses (world from sensor).
     frame_valid: (F,) bool.
     """
@@ -60,6 +63,8 @@ class DescriptorDB(NamedTuple):
     vertices: jnp.ndarray
     frame_ids: jnp.ndarray
     cell_start: jnp.ndarray
+    frame_rows: jnp.ndarray
+    frame_start: jnp.ndarray
     frame_poses: jnp.ndarray
     frame_valid: jnp.ndarray
 
@@ -209,6 +214,12 @@ def build_database_stacked(
 
     f = f_n
     f_pad = max(_round_up(f, 8), 8)
+    # Frame-major index over the padded table (padding rows -> bucket f_pad).
+    frame_sort_key = np.where(keys_p == PAD_KEY, f_pad, frames).astype(np.int64)
+    frame_rows = np.argsort(frame_sort_key, kind="stable").astype(np.int32)
+    frame_start = np.searchsorted(
+        frame_sort_key[frame_rows], np.arange(f_pad + 1)
+    ).astype(np.int32)
     fp = np.tile(np.eye(4, dtype=np.float32), (f_pad, 1, 1))
     for i, p in enumerate(poses):
         fp[i] = np.asarray(p, dtype=np.float32).reshape(4, 4)
@@ -230,6 +241,8 @@ def build_database_stacked(
         vertices=jnp.asarray(verts),
         frame_ids=jnp.asarray(frames),
         cell_start=jnp.asarray(cell_start),
+        frame_rows=jnp.asarray(frame_rows),
+        frame_start=jnp.asarray(frame_start),
         frame_poses=jnp.asarray(fp),
         frame_valid=jnp.asarray(fv),
     )

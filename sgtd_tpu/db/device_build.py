@@ -63,6 +63,15 @@ def _assemble(descs: Descriptors, poses: jnp.ndarray, cfg: DescriptorConfig):
         cells, jnp.arange(n_cells_total + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
+    # Frame-major index: key-sorted row ids grouped by owning keyframe
+    # (candidate-major pair extraction scans these contiguously).
+    f_pad = max(-(-f_n // 8) * 8, 8)
+    frame_sort_key = jnp.where(valid_s, frames_s, jnp.int32(f_pad))
+    frame_rows = jnp.argsort(frame_sort_key, stable=True).astype(jnp.int32)
+    frame_start = jnp.searchsorted(
+        frame_sort_key[frame_rows], jnp.arange(f_pad + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
     # Bucket stats on device: run lengths over the sorted keys.
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
@@ -84,7 +93,6 @@ def _assemble(descs: Descriptors, poses: jnp.ndarray, cfg: DescriptorConfig):
     n_cells = jnp.sum(cfirst.astype(jnp.int32))
     n_rows = jnp.sum(valid_s.astype(jnp.int32))
 
-    f_pad = max(-(-f_n // 8) * 8, 8)
     fp = jnp.tile(jnp.eye(4, dtype=jnp.float32), (f_pad, 1, 1))
     fp = fp.at[:f_n].set(poses.astype(jnp.float32))
     fv = jnp.zeros(f_pad, bool).at[:f_n].set(True)
@@ -97,6 +105,8 @@ def _assemble(descs: Descriptors, poses: jnp.ndarray, cfg: DescriptorConfig):
         vertices=verts_s,
         frame_ids=frames_s,
         cell_start=cell_start,
+        frame_rows=frame_rows,
+        frame_start=frame_start,
         frame_poses=fp,
         frame_valid=fv,
     )
@@ -130,3 +140,97 @@ def build_database_on_device(
         max_cell_bucket=max_cell,
     )
     return db, report
+
+
+def append_database(
+    db: DescriptorDB,
+    new_descs: Descriptors,
+    new_poses: jnp.ndarray,
+    cfg: DescriptorConfig = DescriptorConfig(),
+) -> Tuple[DescriptorDB, DBBuildReport]:
+    """Append new keyframes to an existing DB (the TPU analog of the
+    reference's incremental structures: ikd-Tree insertion / AddSTDescs).
+
+    On TPU there is no incremental mutation — the merged table is re-sorted
+    on device in one pass (~ms for millions of rows), which is the faster
+    *and* simpler design (SURVEY.md §2.2 ikd-Tree row). ``new_descs`` is a
+    stacked (F_new, D, ...) pytree; new frame ids continue after the
+    existing frames.
+    """
+    f_old = int(jnp.sum(db.frame_valid))
+    return _append_assemble(db, new_descs, new_poses, cfg, f_old)
+
+
+def _append_assemble(db, new_descs, new_poses, cfg, f_old):
+    extent = validate_key_space(cfg)
+    f_new, d_n = new_descs.mask.shape
+    m_new = f_new * d_n
+
+    sides = new_descs.sides.reshape(m_new, 3)
+    labels = jnp.clip(new_descs.labels.reshape(m_new, 3), 0, 12)
+    verts = new_descs.vertices.reshape(m_new, 3, 3)
+    frames = jnp.repeat(
+        jnp.arange(f_new, dtype=jnp.int32), d_n
+    ) + jnp.int32(f_old)
+    valid = new_descs.mask.reshape(m_new)
+
+    q = jnp.clip(jnp.floor(sides + 0.5).astype(jnp.int32), 0, extent - 1)
+    code = (labels[:, 0] * 13 + labels[:, 1]) * 13 + labels[:, 2]
+    key = ((q[:, 0] * extent + q[:, 1]) * extent + q[:, 2]) * _N_CODES + code
+    key = jnp.where(valid, key, jnp.int32(PAD_KEY))
+    qs = jnp.clip(jnp.round(sides * 256.0), 0, 65535).astype(jnp.uint32)
+    plo = qs[:, 0] | (qs[:, 1] << 16)
+    phi = qs[:, 2] | (frames.astype(jnp.uint32) << 16)
+    codes = jnp.where(valid, code, -1)
+
+    all_key = jnp.concatenate([db.keys, key])
+    order = jnp.argsort(all_key)
+    key_s = all_key[order]
+    take = lambda a, b: jnp.concatenate([a, b])[order]
+    codes_s = take(db.codes, codes)
+    plo_s = take(db.packed_lo, plo)
+    phi_s = take(db.packed_hi, phi)
+    verts_s = take(db.vertices, verts)
+    frames_s = take(db.frame_ids, frames)
+    valid_s = key_s != jnp.int32(PAD_KEY)
+
+    n_cells_total = extent * extent * extent
+    cells = jnp.where(valid_s, key_s // _N_CODES, n_cells_total)
+    cell_start = jnp.searchsorted(
+        cells, jnp.arange(n_cells_total + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    f_total = f_old + f_new
+    f_pad = max(-(-f_total // 8) * 8, 8)
+    fp = jnp.tile(jnp.eye(4, dtype=jnp.float32), (f_pad, 1, 1))
+    fp = fp.at[:f_old].set(db.frame_poses[:f_old])
+    fp = fp.at[f_old:f_total].set(jnp.asarray(new_poses, jnp.float32))
+    fv = jnp.zeros(f_pad, bool).at[:f_total].set(True)
+
+    frame_sort_key = jnp.where(valid_s, frames_s, jnp.int32(f_pad))
+    frame_rows = jnp.argsort(frame_sort_key, stable=True).astype(jnp.int32)
+    frame_start = jnp.searchsorted(
+        frame_sort_key[frame_rows], jnp.arange(f_pad + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    new_db = DescriptorDB(
+        keys=key_s, codes=codes_s, packed_lo=plo_s, packed_hi=phi_s,
+        vertices=verts_s, frame_ids=frames_s, cell_start=cell_start,
+        frame_rows=frame_rows, frame_start=frame_start,
+        frame_poses=fp, frame_valid=fv,
+    )
+    # Stats on host (append is a map-maintenance op, not a hot path).
+    keys_np = np.asarray(key_s)
+    real = keys_np != PAD_KEY
+    uniq, counts = np.unique(keys_np[real], return_counts=True)
+    ccounts = np.unique(uniq // _N_CODES, return_counts=False)
+    _, cellc = np.unique(keys_np[real] // _N_CODES, return_counts=True)
+    report = DBBuildReport(
+        num_rows=int(real.sum()),
+        num_frames=f_total,
+        num_cells=int(len(np.unique(keys_np[real] // _N_CODES))),
+        max_bucket=int(counts.max()) if counts.size else 0,
+        rows_beyond_cap=0,
+        max_cell_bucket=int(cellc.max()) if cellc.size else 0,
+    )
+    return new_db, report

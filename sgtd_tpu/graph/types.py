@@ -66,10 +66,14 @@ def make_graph(
         d[:n] = np.asarray(density, dtype=np.float32)[:n]
     m = np.zeros(max_nodes, dtype=bool)
     m[:n] = True
+    # Host-backed arrays: a SemanticGraph is jit-ready as-is, and keeping
+    # fields in NumPy avoids one device transfer per field per graph (on
+    # remote-attached accelerators those tiny transfers dominate batch
+    # assembly; stacking transfers once per field instead).
     return SemanticGraph(
-        centers=jnp.asarray(c),
-        labels=jnp.asarray(l),
-        density=jnp.asarray(d),
-        mask=jnp.asarray(m),
-        pose=jnp.asarray(np.asarray(pose, dtype=np.float32).reshape(4, 4)),
+        centers=c,
+        labels=l,
+        density=d,
+        mask=m,
+        pose=np.asarray(pose, dtype=np.float32).reshape(4, 4),
     )

@@ -188,3 +188,22 @@ def corrupt_labels(
     out = sem.copy()
     out[rng.uniform(size=sem.shape) <= rate] = bad_label
     return out
+
+
+def write_bin(path: str, points: np.ndarray, intensity: np.ndarray | None = None):
+    """Write a KITTI-format .bin scan (x, y, z, intensity float32 records,
+    ref utility.hpp saveBinFile:661-685)."""
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    inten = (
+        np.asarray(intensity, np.float32).reshape(-1, 1)
+        if intensity is not None
+        else np.ones((len(pts), 1), np.float32)
+    )
+    np.hstack([pts, inten]).astype(np.float32).tofile(path)
+
+
+def write_label(path: str, sem: np.ndarray, inst: np.ndarray | None = None):
+    """Write a SemanticKITTI .label file (sem low16 | inst high16)."""
+    sem = np.asarray(sem, np.uint32) & 0xFFFF
+    inst = np.asarray(inst, np.uint32) if inst is not None else np.zeros_like(sem)
+    ((inst << 16) | sem).astype(np.uint32).tofile(path)

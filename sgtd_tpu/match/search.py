@@ -33,8 +33,11 @@ import jax.numpy as jnp
 
 from sgtd_tpu.config import CapacityConfig, DescriptorConfig, SearchConfig
 from sgtd_tpu.db.database import DescriptorDB
-from sgtd_tpu.desc.keys import probe_cells
+from sgtd_tpu.desc.keys import probe_cells, _N_CODES
 from sgtd_tpu.desc.triangles import Descriptors
+import numpy as np
+
+_I32_MAX = np.int32(2**31 - 1)
 
 
 class CandidateSet(NamedTuple):
@@ -92,27 +95,28 @@ def probe_and_hits(
         # split across shards stays code-sorted within each contiguous chunk.
         cs = jnp.clip(cs - row_offset, 0, m_rows)
         ce = jnp.clip(ce - row_offset, 0, m_rows)
-    code_b = code[:, None]  # (D, 1) broadcast over probes
+    # Both bucket bounds in ONE bisection loop: stack the (code, code+1)
+    # targets so the 16 sequential steps are shared (the loop is the
+    # latency-bound part — each step is a tiny gather).
+    code2 = jnp.stack([code, code + 1])[:, :, None]  # (2, D, 1)
 
-    def lower_bound(strict: bool):
-        def step(_, state):
-            lo, hi = state
-            active = lo < hi
-            mid = (lo + hi) >> 1
-            cmid = db.codes[jnp.minimum(mid, m_rows - 1)]
-            go_right = (cmid < code_b) if strict else (cmid <= code_b)
-            lo = jnp.where(active & go_right, mid + 1, lo)
-            hi = jnp.where(active & ~go_right, mid, hi)
-            return lo, hi
+    def step(_, state):
+        lo, hi = state
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        cmid = db.codes[jnp.minimum(mid, m_rows - 1)]
+        go_right = cmid < code2
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
 
-        # 16 bisection steps cover cells up to 65536 rows (enforced at DB
-        # build). Rolled loop: the unrolled chain of gathers sends XLA:CPU
-        # compilation into the weeds (>minutes); TPU is fine either way.
-        lo, _ = jax.lax.fori_loop(0, 16, step, (cs, ce))
-        return lo
-
-    start = lower_bound(True)
-    end = lower_bound(False)
+    # 16 bisection steps cover cells up to 65536 rows (enforced at DB
+    # build). Rolled loop: an unrolled gather chain sends XLA:CPU
+    # compilation into the weeds (>minutes); TPU is fine either way.
+    lo2 = jnp.broadcast_to(cs, (2,) + cs.shape)
+    hi2 = jnp.broadcast_to(ce, (2,) + ce.shape)
+    lo2, _ = jax.lax.fori_loop(0, 16, step, (lo2, hi2))
+    start, end = lo2[0], lo2[1]
 
     # --- ragged (CSR-style) bucket scan. ---
     # Bucket depths are highly skewed; a dense (D, 27, max_bucket) scan is
@@ -178,16 +182,16 @@ def probe_and_hits(
     keep = hit & (rank_in_desc < u)
     sd = jnp.where(keep, desc, d_max)  # dump row for non-kept
     si = jnp.where(keep, rank_in_desc, 0)
-    sel_row = (
-        jnp.zeros((d_max + 1, u), jnp.int32).at[sd, si].set(row_c)[:d_max]
+    # One scatter carries everything: row+1 (0 = empty slot); the frame is
+    # re-derived from the (tiny) selected rows afterwards.
+    sel = (
+        jnp.zeros((d_max + 1, u), jnp.int32).at[sd, si].set(row_c + 1)[:d_max]
     )
-    sel_ok = (
-        jnp.zeros((d_max + 1, u), bool).at[sd, si].set(True)[:d_max]
+    sel_ok = sel > 0
+    sel_row = jnp.maximum(sel - 1, 0)
+    sel_frame = jnp.where(
+        sel_ok, (db.packed_hi[sel_row] >> 16).astype(jnp.int32), f_pad
     )
-    sel_frame_v = (
-        jnp.zeros((d_max + 1, u), jnp.int32).at[sd, si].set(frame_of_hit)[:d_max]
-    )
-    sel_frame = jnp.where(sel_ok, sel_frame_v, f_pad)
     return votes, sel_row, sel_frame
 
 
@@ -253,3 +257,166 @@ def candidate_search(
         pair_row=pair_row,
         pair_valid=pair_valid,
     )
+
+
+# ---- optional candidate-major pair extraction (exact per-frame pair
+# lists like the reference's match_list; ~2.5x slower than the U-capped
+# default at bench scale, useful when per-descriptor caps bite) ----
+
+def _bisect(sorted_keys: jnp.ndarray, targets: jnp.ndarray, lo, hi, steps: int):
+    """Vectorised lower_bound over a sorted array with given ranges.
+
+    Rolled loop: an unrolled gather chain sends XLA:CPU compilation into the
+    weeds (>minutes); TPU is fine either way.
+    """
+    m = sorted_keys.shape[0]
+
+    def step(_, state):
+        lo, hi = state
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        kmid = sorted_keys[jnp.minimum(mid, m - 1)]
+        go_right = kmid < targets
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(0, steps, step, (lo, hi))
+    return lo
+
+
+def probe_ranges(
+    db: DescriptorDB,
+    query: Descriptors,
+    cfg: DescriptorConfig,
+    row_offset: jnp.ndarray | None = None,
+):
+    """(start, end) row ranges of each (descriptor, probe) bucket, plus the
+    probe validity mask. Ranges are shard-local when row_offset is given."""
+    m_rows = db.keys.shape[0]
+    cells, code, gate = probe_cells(query.sides, query.labels, cfg)  # (D, 27)
+    cs = db.cell_start[cells]
+    ce = db.cell_start[cells + 1]
+    if row_offset is not None:
+        cs = jnp.clip(cs - row_offset, 0, m_rows)
+        ce = jnp.clip(ce - row_offset, 0, m_rows)
+    code_b = code[:, None]
+    # In-cell bisection for the exact (cell, code) bucket; 16 steps cover
+    # cells up to 65536 rows (enforced at DB build).
+    start = _bisect(db.codes, code_b, cs, ce, 16)
+    end = _bisect(db.codes, code_b + 1, cs, ce, 16)
+    probe_ok = gate & query.mask[:, None]
+    return start, end, probe_ok
+
+
+
+def build_probe_table(
+    query: Descriptors, cfg: DescriptorConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sorted (probe key, descriptor id) table for the pair pass."""
+    cells, code, gate = probe_cells(query.sides, query.labels, cfg)  # (D, 27)
+    ok = gate & query.mask[:, None]
+    pkey = jnp.where(ok, cells * _N_CODES + code[:, None], _I32_MAX).ravel()
+    d_max = query.sides.shape[0]
+    pdesc = jnp.broadcast_to(
+        jnp.arange(d_max, dtype=jnp.int32)[:, None], (d_max, 27)
+    ).ravel()
+    order = jnp.argsort(pkey)
+    return pkey[order], pdesc[order]
+
+
+def extract_pairs_by_frame(
+    db: DescriptorDB,
+    query: Descriptors,
+    pkeys: jnp.ndarray,
+    pdesc: jnp.ndarray,
+    cand_frames: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    search: SearchConfig,
+    caps: CapacityConfig,
+    row_offset: jnp.ndarray | None = None,
+    pairs_cap: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pair pass: all matching (query-descriptor, DB-row) pairs per candidate
+    frame (ref match_list assembly, STDesc.cpp:437-447), capped at
+    ``pairs_cap`` per candidate.
+
+    With ``row_offset`` set, only this shard's rows contribute (pair_row is
+    then shard-local).
+    """
+    p_cap = pairs_cap if pairs_cap is not None else caps.pairs_per_candidate
+    c_n = cand_frames.shape[0]
+    r_max = caps.max_descriptors  # rows per keyframe bound
+    pk_max = caps.probes_per_key
+    m_rows = db.keys.shape[0]
+    n_probes = pkeys.shape[0]
+
+    # Candidate frames' rows are contiguous in the frame-major index.
+    fs = db.frame_start[cand_frames]  # (C,)
+    fe = db.frame_start[cand_frames + 1]
+    pos = fs[:, None] + jnp.arange(r_max, dtype=jnp.int32)[None, :]  # (C, R)
+    row_ok = (pos < fe[:, None]) & cand_valid[:, None]
+    rows = db.frame_rows[jnp.clip(pos, 0, db.frame_rows.shape[0] - 1)]
+    if row_offset is not None:
+        rows_local = rows - row_offset
+        row_ok = row_ok & (rows_local >= 0) & (rows_local < m_rows)
+        rows = jnp.clip(rows_local, 0, m_rows - 1)
+    rows = jnp.minimum(rows, m_rows - 1)
+
+    rowkey = db.keys[rows]  # (C, R)
+    lo_w = db.packed_lo[rows]
+    hi_w = db.packed_hi[rows]
+    inv256 = jnp.float32(1.0 / 256.0)
+    sa = (lo_w & 0xFFFF).astype(jnp.float32) * inv256
+    sb = (lo_w >> 16).astype(jnp.float32) * inv256
+    sc = (hi_w & 0xFFFF).astype(jnp.float32) * inv256
+
+    # First probe with key >= rowkey (17 steps cover 55k probes).
+    steps = max(int(np.ceil(np.log2(max(n_probes, 2)))) + 1, 1)
+    lo0 = jnp.zeros_like(rowkey)
+    hi0 = jnp.full_like(rowkey, n_probes)
+    p_lo = _bisect(pkeys, rowkey, lo0, hi0, steps)
+
+    thr2 = jnp.sum(query.sides * query.sides, axis=-1) * jnp.float32(
+        search.rough_dis_threshold
+    ) ** 2
+
+    matches = []
+    descs = []
+    for j in range(pk_max):
+        p = jnp.minimum(p_lo + j, n_probes - 1)
+        key_eq = (pkeys[p] == rowkey) & (rowkey != _I32_MAX)
+        qd = pdesc[p]  # (C, R)
+        da = sa - query.sides[qd, 0]
+        db_ = sb - query.sides[qd, 1]
+        dc = sc - query.sides[qd, 2]
+        dis2 = da * da + db_ * db_ + dc * dc
+        matches.append(key_eq & row_ok & (dis2 < thr2[qd]))
+        descs.append(qd)
+    match = jnp.stack(matches, axis=-1)  # (C, R, K)
+    qdesc = jnp.stack(descs, axis=-1)
+
+    # Compact per candidate: rank matches along the flattened (row, probe)
+    # axis, scatter the first p_cap into the pair list.
+    flat_m = match.reshape(c_n, -1)
+    flat_d = qdesc.reshape(c_n, -1)
+    flat_r = jnp.broadcast_to(rows[..., None], match.shape).reshape(c_n, -1)
+    rank = jnp.cumsum(flat_m.astype(jnp.int32), axis=-1) - 1
+    keep = flat_m & (rank < p_cap)
+    ci = jnp.broadcast_to(
+        jnp.arange(c_n, dtype=jnp.int32)[:, None], flat_m.shape
+    )
+    sc_c = jnp.where(keep, ci, c_n)
+    sc_p = jnp.where(keep, rank, 0)
+    pair_qidx = (
+        jnp.zeros((c_n + 1, p_cap), jnp.int32).at[sc_c, sc_p].set(flat_d)[:c_n]
+    )
+    pair_row = (
+        jnp.zeros((c_n + 1, p_cap), jnp.int32).at[sc_c, sc_p].set(flat_r)[:c_n]
+    )
+    pair_valid = (
+        jnp.zeros((c_n + 1, p_cap), bool).at[sc_c, sc_p].set(True)[:c_n]
+    )
+    return pair_qidx, pair_row, pair_valid
+
+

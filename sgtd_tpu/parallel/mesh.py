@@ -49,6 +49,8 @@ def db_sharding(mesh: Mesh):
         vertices=NamedSharding(mesh, P("db", None, None)),
         frame_ids=NamedSharding(mesh, P("db")),
         cell_start=NamedSharding(mesh, P(None)),
+        frame_rows=NamedSharding(mesh, P(None)),
+        frame_start=NamedSharding(mesh, P(None)),
         frame_poses=NamedSharding(mesh, P(None, None, None)),
         frame_valid=NamedSharding(mesh, P(None)),
     )

@@ -53,7 +53,8 @@ def _localize_one_sharded(db_local: DescriptorDB, query: Descriptors, config: SG
     p_local = max(p_total // n_db, 1)
 
     # This shard holds rows [offset, offset + m_local) of the global table;
-    # the replicated cell_start offsets are clipped into that range.
+    # the replicated cell_start / frame_rows offsets are clipped into that
+    # range.
     m_local = db_local.keys.shape[0]
     offset = jax.lax.axis_index("db").astype(jnp.int32) * m_local
     votes_l, sel_row, sel_frame = probe_and_hits(
@@ -110,6 +111,8 @@ def make_sharded_localizer(mesh: Mesh, config: SGTDConfig = SGTDConfig()):
         vertices=P("db", None, None),
         frame_ids=P("db"),
         cell_start=P(None),
+        frame_rows=P(None),
+        frame_start=P(None),
         frame_poses=P(None, None, None),
         frame_valid=P(None),
     )

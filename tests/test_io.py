@@ -80,3 +80,49 @@ def test_corrupt_labels():
     assert np.all((out == 5) | (out == 20))
     # rate 0 is a no-op.
     np.testing.assert_array_equal(corrupt_labels(sem, 0.0, rng), sem)
+
+
+def test_write_bin_label_roundtrip(tmp_path, rng):
+    from sgtd_tpu.io.readers import write_bin, write_label
+
+    pts = rng.normal(0, 5, (50, 3)).astype(np.float32)
+    write_bin(str(tmp_path / "w.bin"), pts)
+    back = read_bin(str(tmp_path / "w.bin"))
+    np.testing.assert_array_equal(back[:, :3], pts)
+
+    sem = rng.integers(0, 20, 50)
+    inst = rng.integers(0, 99, 50)
+    write_label(str(tmp_path / "w.label"), sem, inst)
+    s, i = read_label(str(tmp_path / "w.label"))
+    np.testing.assert_array_equal(s, sem)
+    np.testing.assert_array_equal(i, inst)
+
+
+def test_config_from_reference_yaml(tmp_path):
+    from sgtd_tpu.io.config_yaml import config_from_yaml
+
+    (tmp_path / "cfg.yaml").write_text(
+        """
+descriptor_near_num: 12
+descriptor_min_len: 0.7
+descriptor_max_len: 40
+std_side_resolution: 1
+candidate_num: 30
+rough_dis_threshold: 0.05
+icp_threshold: 0.6
+SG_data:
+    leaf_size: 2.5
+    best_fitness: 10
+fast_gicp:
+    enable_gicp: true
+    num_neighbors: 15
+    max_iterations: 7
+"""
+    )
+    cfg = config_from_yaml(str(tmp_path / "cfg.yaml"))
+    assert cfg.desc.near_num == 12
+    assert cfg.desc.min_len == 0.7
+    assert cfg.search.candidate_num == 30
+    assert cfg.search.icp_threshold == 0.6
+    assert cfg.gicp.enable and cfg.gicp.num_neighbors == 15
+    assert cfg.gicp.leaf_size == 2.5

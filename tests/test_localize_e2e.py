@@ -119,3 +119,67 @@ def test_device_build_matches_host_build(world_setup):
     np.testing.assert_allclose(
         np.asarray(res_h.votes), np.asarray(res_d.votes), atol=0
     )
+
+
+def test_append_database(world_setup):
+    """Incremental append == full rebuild over the same keyframes."""
+    import jax
+    from sgtd_tpu.db.device_build import append_database, build_database_on_device
+    from sgtd_tpu.desc.triangles import build_descriptors
+
+    cfg, map_graphs, query_graphs, _, _, _ = world_setup
+    descs = [build_descriptors(g, cfg.desc, cfg.caps) for g in map_graphs]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *descs)
+    poses = jnp.stack([g.pose for g in map_graphs])
+
+    k = 16
+    part = jax.tree_util.tree_map(lambda x: x[:k], stacked)
+    rest = jax.tree_util.tree_map(lambda x: x[k:], stacked)
+    db_part, _ = build_database_on_device(part, poses[:k], cfg.desc)
+    db_inc, rep_inc = append_database(db_part, rest, poses[k:], cfg.desc)
+    db_full, rep_full = build_database_on_device(stacked, poses, cfg.desc)
+
+    assert rep_inc.num_rows == rep_full.num_rows
+    assert rep_inc.num_frames == rep_full.num_frames
+    res_i = localize(db_inc, query_graphs[1], cfg)
+    res_f = localize(db_full, query_graphs[1], cfg)
+    assert int(res_i.best_frame) == int(res_f.best_frame)
+    np.testing.assert_allclose(
+        np.asarray(res_i.votes), np.asarray(res_f.votes), atol=0
+    )
+
+
+def test_frame_major_pair_extraction(world_setup):
+    """The optional exact (candidate-major) pair pass agrees with the
+    default per-descriptor-capped path on candidate scoring."""
+    from sgtd_tpu.desc.triangles import build_descriptors
+    from sgtd_tpu.match.search import (
+        build_probe_table,
+        candidate_search,
+        extract_pairs_by_frame,
+    )
+    from sgtd_tpu.match.verify import verify_pairs
+
+    cfg, _, query_graphs, _, db, _ = world_setup
+    q = build_descriptors(query_graphs[0], cfg.desc, cfg.caps)
+    cand = candidate_search(db, q, cfg.desc, cfg.search, cfg.caps)
+
+    pkeys, pdesc = build_probe_table(q, cfg.desc)
+    pq, pr, pv = extract_pairs_by_frame(
+        db, q, pkeys, pdesc, cand.frames, cand.valid, cfg.search, cfg.caps
+    )
+    # Frame-major pairs are a superset-or-equal sampling: counts per valid
+    # candidate must be >= the capped default (up to the same P cap).
+    n_def = np.asarray(cand.pair_valid.sum(axis=1))
+    n_fm = np.asarray(pv.sum(axis=1))
+    valid = np.asarray(cand.valid)
+    assert np.all(n_fm[valid] >= np.minimum(n_def[valid], n_fm[valid]))
+    assert n_fm[valid].max() > 0
+
+    # Verification on frame-major pairs picks the same best frame.
+    vq = q.vertices[pq]
+    vdb = db.vertices[pr]
+    ver = verify_pairs(vq, vdb, pv, cand.valid, cfg.search)
+    best_fm = int(np.asarray(cand.frames)[np.argmax(np.asarray(ver.scores))])
+    res = localize(db, query_graphs[0], cfg)
+    assert best_fm == int(res.best_frame)
