@@ -108,6 +108,10 @@ class GicpConfig:
     trans_eps: float = 5e-4
     # Plane regularization eigenvalues (ref fast_gicp_impl.hpp:284).
     plane_eps: float = 1e-3
+    # Reject a refinement that moves the pose further than this from the
+    # geometrically-verified descriptor estimate (a diverged ICP on
+    # repetitive structure; guard absent in the reference).
+    max_refine_shift_m: float = 5.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,3 +137,54 @@ def make_map_and_queries(
         observe(world, p, config, rng, **obs_kw) for p in world.query_poses
     ]
     return map_graphs, query_graphs, world
+
+
+def render_cloud(
+    world: SyntheticWorld,
+    pose: np.ndarray,
+    rng: np.random.Generator,
+    max_points: int = 4096,
+    points_per_instance: int = 60,
+    view_radius_m: float = 50.0,
+    noise_m: float = 0.03,
+):
+    """Render a structured point cloud (surface blobs around instances +
+    ground points) in the sensor frame — raw-cloud input for GICP tests.
+
+    Returns (points (max_points, 3) float32, mask (max_points,) bool).
+    """
+    Tinv = np.linalg.inv(pose)
+    local = (world.instance_xyz @ Tinv[:3, :3].T) + Tinv[:3, 3]
+    vis = np.linalg.norm(local[:, :2], axis=1) < view_radius_m
+    pts = []
+    for c in local[vis]:
+        # Vertical-structure blob: instances read as poles/walls.
+        k = points_per_instance
+        p = np.column_stack(
+            [
+                c[0] + rng.normal(0, 0.15, k),
+                c[1] + rng.normal(0, 0.15, k),
+                rng.uniform(0, max(c[2] * 2, 1.0), k),
+            ]
+        )
+        pts.append(p)
+    n_ground = max_points // 3
+    pts.append(
+        np.column_stack(
+            [
+                rng.uniform(-view_radius_m, view_radius_m, n_ground),
+                rng.uniform(-view_radius_m, view_radius_m, n_ground),
+                rng.normal(0, noise_m, n_ground),
+            ]
+        )
+    )
+    cloud = np.concatenate(pts).astype(np.float32)
+    cloud += rng.normal(0, noise_m, cloud.shape)
+    if len(cloud) > max_points:
+        stride = -(-len(cloud) // max_points)
+        cloud = cloud[::stride]
+    out = np.zeros((max_points, 3), np.float32)
+    mask = np.zeros(max_points, bool)
+    out[: len(cloud)] = cloud
+    mask[: len(cloud)] = True
+    return out, mask

@@ -77,12 +77,21 @@ def evaluate(
     query_graphs: Sequence[SemanticGraph],
     batch_size: int = 16,
     gt_poses: Optional[Sequence[np.ndarray]] = None,
+    query_cloud_fn=None,
+    map_cloud_fn=None,
+    rerank_k: int = 4,
 ) -> dict:
     """Localize every query; return the reference-style metric summary.
 
     gt_poses defaults to each query graph's own pose field (the reference
     reads GT from the graph JSON the same way,
     semantic_graph_localization.cpp:627-638).
+
+    When ``config.gicp.enable`` and cloud loaders are given
+    (query_cloud_fn(i) / map_cloud_fn(frame_id) -> (points, mask)), the top
+    ``rerank_k`` candidates are GICP-refined and re-ranked by fitness with
+    the reference's best_fitness early accept
+    (semantic_graph_localization.cpp:672-722).
     """
     cfg = index.config
     loc_fn = jax.jit(
@@ -101,11 +110,58 @@ def evaluate(
         batch = stack_graphs(chunk_p)
         t0 = time.time()
         res = jax.block_until_ready(loc_fn(index.db, batch))
+        use_gicp = (
+            cfg.gicp.enable
+            and query_cloud_fn is not None
+            and map_cloud_fn is not None
+        )
+        best_poses = np.array(res.poses[:, 0])
+        if use_gicp:
+            from sgtd_tpu.geom import se3 as _se3
+            from sgtd_tpu.refine.gicp import gicp_rerank
+
+            frame_poses = np.asarray(index.db.frame_poses)
+            for k in range(len(chunk)):
+                if not bool(res.found[k]):
+                    continue
+                frames_k = np.asarray(res.frames[k][:rerank_k])
+                src, src_mask = query_cloud_fn(i + k)
+                tgts, tmasks, inits = [], [], []
+                for c in range(rerank_k):
+                    tp, tm = map_cloud_fn(int(frames_k[c]))
+                    tgts.append(tp)
+                    tmasks.append(tm)
+                    T_loop = np.eye(4, dtype=np.float32)
+                    T_loop[:3, :3] = np.asarray(res.rot[k][c])
+                    T_loop[:3, 3] = np.asarray(res.trans[k][c])
+                    inits.append(T_loop)
+                out = gicp_rerank(
+                    jnp.asarray(src), jnp.asarray(src_mask),
+                    jnp.asarray(np.stack(tgts)), jnp.asarray(np.stack(tmasks)),
+                    jnp.asarray(np.stack(inits)), cfg.gicp,
+                )
+                fit = np.asarray(out.fitness)
+                # best_fitness early accept in candidate order, else min
+                # fitness (ref :703-720).
+                pick = None
+                for c in range(rerank_k):
+                    if fit[c] < cfg.gicp.best_fitness:
+                        pick = c
+                        break
+                if pick is None:
+                    pick = int(np.argmin(fit))
+                T_ref = np.asarray(out.transform[pick])
+                refined = frame_poses[frames_k[pick]] @ T_ref
+                # Divergence guard: a refinement that leaves the verified
+                # descriptor pose's neighbourhood is a wrong-basin ICP.
+                shift = np.linalg.norm(refined[:3, 3] - best_poses[k][:3, 3])
+                if shift <= cfg.gicp.max_refine_shift_m:
+                    best_poses[k] = refined
         dt_ms = (time.time() - t0) * 1000.0 / len(chunk)
         for k in range(len(chunk)):
             acc.add(
                 np.asarray(gt_poses[i + k]),
-                np.asarray(res.poses[k][0]),
+                best_poses[k],
                 np.asarray(res.poses[k]),
                 time_ms=dt_ms,
             )
