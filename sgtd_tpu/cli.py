@@ -50,6 +50,35 @@ def _cmd_build_map(args):
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(0)
     n_max = dcvc.max_points
+
+    if args.local_map_radius > 0:
+        # Multi-frame densified keyframes (ref local_map.cpp; the map
+        # variant behind the headline "multi" results).
+        from sgtd_tpu.graph.local_map import build_local_map_graphs
+        from sgtd_tpu.io.graph_json import write_graph_json as _wg
+        from sgtd_tpu import native
+
+        if poses is None:
+            raise SystemExit("--local-map-radius requires --poses")
+
+        def load_scan(j):
+            xyz, sem_j, inst_j = native.load_scan(scans[j], labels[j])
+            if args.dataset == "kitti":
+                sem_j = readers.to_reference_train_ids(
+                    readers.remap_semantic_kitti(sem_j)
+                )
+            return xyz, sem_j, inst_j
+
+        graphs = build_local_map_graphs(
+            load_scan, poses.astype(np.float32), args.local_map_radius,
+            cfg.caps, dcvc,
+        )
+        for i, g in enumerate(graphs):
+            base = os.path.splitext(os.path.basename(scans[i]))[0]
+            _wg(os.path.join(args.out, base + ".json"), g)
+        print(f"[build-map] wrote {len(graphs)} local-map graphs to {args.out}")
+        return
+
     for i, (sp, lp) in enumerate(zip(scans, labels)):
         pts = readers.read_bin(sp)[:, :3]
         sem, inst = readers.read_label(lp)
@@ -143,6 +172,9 @@ def main(argv=None):
     b.add_argument("--dataset", choices=["kitti", "mulran", "raw"], default="kitti")
     b.add_argument("--sequence", default=None)
     b.add_argument("--label-corrupt-rate", type=float, default=0.0)
+    b.add_argument("--local-map-radius", type=float, default=0.0,
+                   help="merge scans within this radius into each keyframe "
+                        "(multi-frame densified maps; 0 = single-scan)")
     b.add_argument("--out", required=True)
     b.set_defaults(fn=_cmd_build_map)
 
