@@ -88,6 +88,11 @@ class CapacityConfig:
     # STDesc.h:33 — a hard limit there; here just the vote-array padding and
     # liftable per instance).
     max_frames: int = 20000
+    # Slots in the direct-addressed (cell, code) bucket table (32 MB at the
+    # default). Probes become O(1) parallel gathers instead of a sequential
+    # in-cell binary search; DBs whose used_cells x used_codes product
+    # exceeds this fall back to bisection automatically.
+    bucket_table_slots: int = 1 << 23
 
 
 @dataclasses.dataclass(frozen=True)

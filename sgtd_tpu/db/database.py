@@ -34,6 +34,13 @@ from sgtd_tpu.desc.triangles import Descriptors
 # Sentinel key for padding rows: larger than any real packed key.
 PAD_KEY = np.int32(2**31 - 1)
 
+# Packed bucket-table word: row start in the high 20 bits, bucket length in
+# the low 12. Limits (validated at build; builds beyond them fall back to the
+# in-cell binary search): 2^20 rows per DB, 4095 rows per (cell, code) bucket.
+BUCKET_START_SHIFT = 12
+BUCKET_LEN_MASK = (1 << BUCKET_START_SHIFT) - 1
+MAX_TABLE_ROWS = 1 << (32 - BUCKET_START_SHIFT)
+
 
 class DescriptorDB(NamedTuple):
     """Sorted descriptor table + keyframe store.
@@ -54,6 +61,20 @@ class DescriptorDB(NamedTuple):
     frame_start: (F + 1,) int32 — offsets into frame_rows per keyframe.
     frame_poses: (F, 4, 4) float32 — keyframe poses (world from sensor).
     frame_valid: (F,) bool.
+
+    Direct-addressed bucket table (O(1) probe -> bucket range; replaces the
+    sequential 16-step in-cell binary search, which is the probe stage's
+    latency bottleneck — 16 dependent gathers). Empty when the DB exceeds
+    the packing limits (search falls back to bisection):
+
+    bucket_table: (T,) uint32 — packed (row_start << 12 | length) of the
+                  (dense_cell, dense_code) bucket at slot
+                  dense_cell * table_stride + dense_code; 0 = empty bucket.
+    cell_remap:   (extent^3,) int32 — quantised cell -> dense cell id, -1
+                  when the cell holds no rows.
+    code_remap:   (2197,) int32 — label-code -> dense code id, -1 when the
+                  code appears nowhere in the DB.
+    table_stride: (1,) int32 — number of distinct label codes in the DB.
     """
 
     keys: jnp.ndarray
@@ -67,6 +88,10 @@ class DescriptorDB(NamedTuple):
     frame_start: jnp.ndarray
     frame_poses: jnp.ndarray
     frame_valid: jnp.ndarray
+    bucket_table: jnp.ndarray
+    cell_remap: jnp.ndarray
+    code_remap: jnp.ndarray
+    table_stride: jnp.ndarray
 
     @property
     def num_rows(self) -> int:
@@ -75,6 +100,10 @@ class DescriptorDB(NamedTuple):
     @property
     def num_frames(self) -> int:
         return self.frame_poses.shape[0]
+
+    @property
+    def has_direct_table(self) -> bool:
+        return self.bucket_table.shape[0] > 0
 
 
 @dataclasses.dataclass
@@ -233,6 +262,9 @@ def build_database_stacked(
         raise ValueError("packed frame ids support up to 65535 keyframes")
     packed_lo = qs[:, 0] | (qs[:, 1] << 16)
     packed_hi = qs[:, 2] | (frames.astype(np.uint32) << 16)
+    table, cell_remap, code_remap, stride = _build_bucket_table_np(
+        keys, extent, caps.bucket_table_slots, m_pad, max_bucket
+    )
     db = DescriptorDB(
         keys=jnp.asarray(keys_p),
         codes=jnp.asarray(codes),
@@ -245,6 +277,10 @@ def build_database_stacked(
         frame_start=jnp.asarray(frame_start),
         frame_poses=jnp.asarray(fp),
         frame_valid=jnp.asarray(fv),
+        bucket_table=jnp.asarray(table),
+        cell_remap=jnp.asarray(cell_remap),
+        code_remap=jnp.asarray(code_remap),
+        table_stride=jnp.asarray(stride),
     )
     report = DBBuildReport(
         num_rows=n,
@@ -255,6 +291,51 @@ def build_database_stacked(
         max_cell_bucket=max_cell,
     )
     return db, report
+
+
+def _build_bucket_table_np(
+    keys: np.ndarray, extent: int, table_slots: int, m_pad: int, max_bucket: int
+):
+    """Direct-addressed (dense_cell, dense_code) -> packed (start, len) table.
+
+    ``keys`` are the sorted real (unpadded) row keys. Returns zero-size
+    arrays when the DB exceeds the packing limits (start 20 bits / len 12
+    bits / table budget) — search then falls back to in-cell bisection.
+    """
+    empty = (
+        np.zeros(0, np.uint32),
+        np.zeros(0, np.int32),
+        np.zeros(0, np.int32),
+        np.zeros(1, np.int32),
+    )
+    if m_pad >= MAX_TABLE_ROWS or max_bucket > BUCKET_LEN_MASK:
+        return empty
+    n_cells_total = extent * extent * extent
+    if keys.size == 0:
+        return (
+            np.zeros(table_slots, np.uint32),
+            np.full(n_cells_total, -1, np.int32),
+            np.full(_N_CODES, -1, np.int32),
+            np.ones(1, np.int32),
+        )
+    uniq, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    ucells = uniq // _N_CODES
+    ucodes = uniq % _N_CODES
+    used_cells = np.unique(ucells)
+    used_codes = np.unique(ucodes)
+    stride = int(used_codes.size)
+    if int(used_cells.size) * stride > table_slots:
+        return empty
+    cell_remap = np.full(n_cells_total, -1, np.int32)
+    cell_remap[used_cells] = np.arange(used_cells.size, dtype=np.int32)
+    code_remap = np.full(_N_CODES, -1, np.int32)
+    code_remap[used_codes] = np.arange(stride, dtype=np.int32)
+    table = np.zeros(table_slots, np.uint32)
+    slots = cell_remap[ucells].astype(np.int64) * stride + code_remap[ucodes]
+    table[slots] = (starts.astype(np.uint32) << BUCKET_START_SHIFT) | counts.astype(
+        np.uint32
+    )
+    return table, cell_remap, code_remap, np.asarray([stride], np.int32)
 
 
 def tuned_config(config, report: DBBuildReport):
@@ -270,6 +351,19 @@ def save_database(path: str, db: DescriptorDB) -> None:
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in db._asdict().items()})
 
 
+_FIELD_DEFAULTS = {
+    "bucket_table": np.zeros(0, np.uint32),
+    "cell_remap": np.zeros(0, np.int32),
+    "code_remap": np.zeros(0, np.int32),
+    "table_stride": np.ones(1, np.int32),
+}
+
+
 def load_database(path: str) -> DescriptorDB:
     z = np.load(path)
-    return DescriptorDB(**{k: jnp.asarray(z[k]) for k in DescriptorDB._fields})
+    return DescriptorDB(
+        **{
+            k: jnp.asarray(z[k] if k in z else _FIELD_DEFAULTS[k])
+            for k in DescriptorDB._fields
+        }
+    )

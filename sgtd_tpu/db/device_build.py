@@ -22,13 +22,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from sgtd_tpu.config import DescriptorConfig
-from sgtd_tpu.db.database import DBBuildReport, DescriptorDB, PAD_KEY
+from sgtd_tpu.db.database import (
+    BUCKET_LEN_MASK,
+    BUCKET_START_SHIFT,
+    DBBuildReport,
+    DescriptorDB,
+    MAX_TABLE_ROWS,
+    PAD_KEY,
+    _build_bucket_table_np,
+)
 from sgtd_tpu.desc.keys import validate_key_space, _N_CODES
 from sgtd_tpu.desc.triangles import Descriptors
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _assemble(descs: Descriptors, poses: jnp.ndarray, cfg: DescriptorConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "table_slots"))
+def _assemble(
+    descs: Descriptors,
+    poses: jnp.ndarray,
+    cfg: DescriptorConfig,
+    table_slots: int,
+):
     extent = validate_key_space(cfg)
     f_n, d_n = descs.mask.shape
     m = f_n * d_n
@@ -97,6 +110,33 @@ def _assemble(descs: Descriptors, poses: jnp.ndarray, cfg: DescriptorConfig):
     fp = fp.at[:f_n].set(poses.astype(jnp.float32))
     fv = jnp.zeros(f_pad, bool).at[:f_n].set(True)
 
+    # Direct-addressed bucket table: one scatter per bucket first-row. The
+    # slot index uses the dynamic (traced) code stride; overflow slots and
+    # sentinel rows scatter out of bounds and are dropped — the host wrapper
+    # validates the packing limits and empties the table on violation.
+    mark = (
+        jnp.zeros(_N_CODES, jnp.int32)
+        .at[jnp.where(valid_s, codes, _N_CODES)]
+        .set(1, mode="drop")
+    )
+    code_remap = jnp.where(mark > 0, jnp.cumsum(mark) - 1, -1).astype(jnp.int32)
+    stride = jnp.sum(mark)
+    cell_remap = (
+        jnp.full(n_cells_total, -1, jnp.int32)
+        .at[jnp.where(valid_s, cells, n_cells_total)]
+        .set(cgroup.astype(jnp.int32), mode="drop")
+    )
+    rowi = jnp.arange(m, dtype=jnp.uint32)
+    blen = jnp.minimum(counts[jnp.maximum(group, 0)], BUCKET_LEN_MASK)
+    word = (rowi << BUCKET_START_SHIFT) | blen.astype(jnp.uint32)
+    dcode = code_remap[jnp.clip(codes, 0, _N_CODES - 1)]
+    slot = jnp.where(
+        is_first & valid_s, cgroup * stride + dcode, jnp.int32(table_slots)
+    )
+    bucket_table = (
+        jnp.zeros(table_slots, jnp.uint32).at[slot].set(word, mode="drop")
+    )
+
     db = DescriptorDB(
         keys=key_s,
         codes=codes.astype(jnp.int32),
@@ -109,8 +149,12 @@ def _assemble(descs: Descriptors, poses: jnp.ndarray, cfg: DescriptorConfig):
         frame_start=frame_start,
         frame_poses=fp,
         frame_valid=fv,
+        bucket_table=bucket_table,
+        cell_remap=cell_remap,
+        code_remap=code_remap,
+        table_stride=stride[None].astype(jnp.int32),
     )
-    stats = jnp.stack([n_rows, n_buckets, max_bucket, n_cells, max_cell])
+    stats = jnp.stack([n_rows, n_buckets, max_bucket, n_cells, max_cell, stride])
     return db, stats
 
 
@@ -119,17 +163,30 @@ def build_database_on_device(
     poses: jnp.ndarray,
     cfg: DescriptorConfig = DescriptorConfig(),
     bucket_cap_for_report: int = 256,
+    table_slots: int = 1 << 23,
 ) -> Tuple[DescriptorDB, DBBuildReport]:
     """Assemble the DB from stacked (F, D, ...) descriptors without bulk
     device->host transfers. ``poses``: (F, 4, 4)."""
-    db, stats = _assemble(descs, jnp.asarray(poses), cfg)
-    n_rows, n_buckets, max_bucket, n_cells, max_cell = (
+    db, stats = _assemble(descs, jnp.asarray(poses), cfg, table_slots)
+    n_rows, n_buckets, max_bucket, n_cells, max_cell, stride = (
         int(x) for x in np.asarray(stats)
     )
     if max_cell > 65536:
         raise ValueError(
             f"a quantised cell holds {max_cell} rows (> 65536); the probe's "
             "in-cell binary search cannot cover it"
+        )
+    # Direct-table packing limits: fall back to bisection when exceeded.
+    m_pad = db.keys.shape[0]
+    if (
+        m_pad >= MAX_TABLE_ROWS
+        or max_bucket > BUCKET_LEN_MASK
+        or n_cells * stride > table_slots
+    ):
+        db = db._replace(
+            bucket_table=jnp.zeros(0, jnp.uint32),
+            cell_remap=jnp.zeros(0, jnp.int32),
+            code_remap=jnp.zeros(0, jnp.int32),
         )
     report = DBBuildReport(
         num_rows=n_rows,
@@ -213,18 +270,29 @@ def _append_assemble(db, new_descs, new_poses, cfg, f_old):
         frame_sort_key[frame_rows], jnp.arange(f_pad + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
+    # Stats + direct table on host (append is a map-maintenance op, not a
+    # hot path).
+    keys_np = np.asarray(key_s)
+    real = keys_np != PAD_KEY
+    uniq, counts = np.unique(keys_np[real], return_counts=True)
+    _, cellc = np.unique(keys_np[real] // _N_CODES, return_counts=True)
+    table, cell_remap, code_remap, stride = _build_bucket_table_np(
+        keys_np[real],
+        extent,
+        int(db.bucket_table.shape[0]) or (1 << 23),
+        keys_np.size,
+        int(counts.max()) if counts.size else 0,
+    )
     new_db = DescriptorDB(
         keys=key_s, codes=codes_s, packed_lo=plo_s, packed_hi=phi_s,
         vertices=verts_s, frame_ids=frames_s, cell_start=cell_start,
         frame_rows=frame_rows, frame_start=frame_start,
         frame_poses=fp, frame_valid=fv,
+        bucket_table=jnp.asarray(table),
+        cell_remap=jnp.asarray(cell_remap),
+        code_remap=jnp.asarray(code_remap),
+        table_stride=jnp.asarray(stride),
     )
-    # Stats on host (append is a map-maintenance op, not a hot path).
-    keys_np = np.asarray(key_s)
-    real = keys_np != PAD_KEY
-    uniq, counts = np.unique(keys_np[real], return_counts=True)
-    ccounts = np.unique(uniq // _N_CODES, return_counts=False)
-    _, cellc = np.unique(keys_np[real] // _N_CODES, return_counts=True)
     report = DBBuildReport(
         num_rows=int(real.sum()),
         num_frames=f_total,

@@ -29,9 +29,12 @@ from sgtd_tpu.match.pipeline import localize
 
 
 def stack_graphs(graphs: Sequence[SemanticGraph]) -> SemanticGraph:
+    # Stack on host, transfer once per field: jnp.stack over per-graph
+    # arrays issues one device transfer per graph per field (measured ~10 s
+    # for 200 graphs on a remote-attached chip vs ~ms this way).
     return SemanticGraph(
         *(
-            jnp.stack([getattr(g, f) for g in graphs])
+            jnp.asarray(np.stack([np.asarray(getattr(g, f)) for g in graphs]))
             for f in SemanticGraph._fields
         )
     )

@@ -25,6 +25,7 @@ votes, and all-gather the pair lists.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Tuple
 
@@ -32,7 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from sgtd_tpu.config import CapacityConfig, DescriptorConfig, SearchConfig
-from sgtd_tpu.db.database import DescriptorDB
+from sgtd_tpu.db.database import (
+    BUCKET_LEN_MASK,
+    BUCKET_START_SHIFT,
+    DescriptorDB,
+)
 from sgtd_tpu.desc.keys import probe_cells, _N_CODES
 from sgtd_tpu.desc.triangles import Descriptors
 import numpy as np
@@ -59,6 +64,69 @@ class CandidateSet(NamedTuple):
     pair_valid: jnp.ndarray
 
 
+def _bucket_lookup(
+    db: DescriptorDB,
+    cells: jnp.ndarray,
+    code: jnp.ndarray,
+    probe_ok: jnp.ndarray,
+    row_offset: jnp.ndarray | None,
+):
+    """(start, end) row range of each (cell, code) probe bucket.
+
+    Fast path: the DB's direct-addressed bucket table — three independent
+    gathers (cell remap, code remap, packed range word). Fallback (DB beyond
+    the 20-bit-row / 12-bit-length packing limits): the sequential in-cell
+    binary search over the sorted codes (16 dependent gathers — measured
+    ~4x slower at bench scale; kept for unbounded generality).
+
+    With ``row_offset`` the returned ranges are clipped into this shard's
+    local rows (ranges are stored globally; a bucket split across shards is
+    scanned partly on each side).
+    """
+    m_rows = db.keys.shape[0]
+    if db.bucket_table.shape[0] > 0:
+        dc = db.cell_remap[cells]  # (D, 27)
+        dk = db.code_remap[jnp.clip(code, 0, db.code_remap.shape[0] - 1)]
+        ok = probe_ok & (dc >= 0) & (dk >= 0)[..., None]
+        idx = jnp.where(ok, dc * db.table_stride[0] + dk[..., None], 0)
+        word = db.bucket_table[idx]
+        start = (word >> BUCKET_START_SHIFT).astype(jnp.int32)
+        end = start + jnp.where(ok, (word & BUCKET_LEN_MASK).astype(jnp.int32), 0)
+        if row_offset is not None:
+            start = jnp.clip(start - row_offset, 0, m_rows)
+            end = jnp.clip(end - row_offset, 0, m_rows)
+    else:
+        cs = db.cell_start[cells]
+        ce = db.cell_start[cells + 1]
+        if row_offset is not None:
+            # Shard-local view first: the codes bisected below are this
+            # shard's rows. A cell split across shards stays code-sorted
+            # within each contiguous chunk.
+            cs = jnp.clip(cs - row_offset, 0, m_rows)
+            ce = jnp.clip(ce - row_offset, 0, m_rows)
+        code2 = jnp.stack([code, code + 1])[:, :, None]  # (2, D, 1)
+
+        def step(_, state):
+            lo, hi = state
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            cmid = db.codes[jnp.minimum(mid, m_rows - 1)]
+            go_right = cmid < code2
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+            return lo, hi
+
+        # 16 bisection steps cover cells up to 65536 rows (enforced at DB
+        # build). Rolled loop: an unrolled gather chain sends XLA:CPU
+        # compilation into the weeds (>minutes); TPU is fine either way.
+        lo2 = jnp.broadcast_to(cs, (2,) + cs.shape)
+        hi2 = jnp.broadcast_to(ce, (2,) + ce.shape)
+        lo2, _ = jax.lax.fori_loop(0, 16, step, (lo2, hi2))
+        start, end = lo2[0], lo2[1]
+        ok = probe_ok
+    return start, end, ok
+
+
 def probe_and_hits(
     db: DescriptorDB,
     query: Descriptors,
@@ -82,52 +150,20 @@ def probe_and_hits(
 
     m_rows = db.keys.shape[0]
 
-    # --- 27-neighbourhood probes -> O(1) cell-table cell ranges, then an
-    # unrolled binary search over the (sorted) codes inside each cell for the
-    # exact (cell, code) bucket. ~32 tiny gathers replace a full searchsorted
-    # over the row table (measured 28-36 ms/query on v5e) while keeping
-    # buckets tight (scanning a whole cell costs bucket_cap x #codes).
     cells, code, gate = probe_cells(query.sides, query.labels, cfg)  # (D, 27)
-    cs = db.cell_start[cells]
-    ce = db.cell_start[cells + 1]
-    if row_offset is not None:
-        # Shard-local view first: codes below are this shard's rows. A cell
-        # split across shards stays code-sorted within each contiguous chunk.
-        cs = jnp.clip(cs - row_offset, 0, m_rows)
-        ce = jnp.clip(ce - row_offset, 0, m_rows)
-    # Both bucket bounds in ONE bisection loop: stack the (code, code+1)
-    # targets so the 16 sequential steps are shared (the loop is the
-    # latency-bound part — each step is a tiny gather).
-    code2 = jnp.stack([code, code + 1])[:, :, None]  # (2, D, 1)
-
-    def step(_, state):
-        lo, hi = state
-        active = lo < hi
-        mid = (lo + hi) >> 1
-        cmid = db.codes[jnp.minimum(mid, m_rows - 1)]
-        go_right = cmid < code2
-        lo = jnp.where(active & go_right, mid + 1, lo)
-        hi = jnp.where(active & ~go_right, mid, hi)
-        return lo, hi
-
-    # 16 bisection steps cover cells up to 65536 rows (enforced at DB
-    # build). Rolled loop: an unrolled gather chain sends XLA:CPU
-    # compilation into the weeds (>minutes); TPU is fine either way.
-    lo2 = jnp.broadcast_to(cs, (2,) + cs.shape)
-    hi2 = jnp.broadcast_to(ce, (2,) + ce.shape)
-    lo2, _ = jax.lax.fori_loop(0, 16, step, (lo2, hi2))
-    start, end = lo2[0], lo2[1]
+    start, end, probe_ok = _bucket_lookup(
+        db, cells, code, gate & query.mask[:, None], row_offset
+    )
 
     # --- ragged (CSR-style) bucket scan. ---
     # Bucket depths are highly skewed; a dense (D, 27, max_bucket) scan is
     # ~90% padding. Instead the exact per-probe bucket lengths are expanded
     # into one flat job list via jnp.repeat (cumsum + scatter under the
     # hood), so gather/scatter work equals the true total bucket occupancy,
-    # padded only up to the static caps.max_scan_slots. The bisection above
+    # padded only up to the static caps.max_scan_slots. The lookup above
     # lands on the exact (cell, code) bucket, so no code re-check is needed;
     # sides + frame come from TWO uint32 gathers per row (16-bit fixed
     # point) — TPU random-gather throughput bounds this stage.
-    probe_ok = gate & query.mask[:, None]
     length = jnp.where(probe_ok, end - start, 0).ravel()  # (D*27,)
     n_jobs = d_max * 27
     offsets = jnp.concatenate(
@@ -259,6 +295,36 @@ def candidate_search(
     )
 
 
+def calibrate_scan_slots(db, sample_queries, config, margin: float = 1.5):
+    """Fit ``caps.max_scan_slots`` to the workload.
+
+    The ragged bucket scan pads to a static total (caps.max_scan_slots);
+    every op over that axis (gathers, cumsums, the vote segment-sum) scales
+    with it, so a loose cap wastes most of the probe stage. This measures
+    the true per-query scan totals on ``sample_queries`` (a stacked
+    Descriptors batch) and returns config with the cap set to the next
+    power of two above ``margin`` x the observed max (never above the
+    incoming cap). One jit recompile per distinct cap value.
+    """
+
+    @jax.jit
+    def totals(qs):
+        def one(q):
+            s, e, ok = probe_ranges(db, q, config.desc)
+            return jnp.sum(jnp.where(ok, e - s, 0))
+
+        return jax.vmap(one)(qs)
+
+    t = int(np.asarray(totals(sample_queries)).max())
+    fitted = 8192
+    while fitted < t * margin:
+        fitted *= 2
+    caps = dataclasses.replace(
+        config.caps, max_scan_slots=min(fitted, config.caps.max_scan_slots)
+    )
+    return config.replace(caps=caps)
+
+
 # ---- optional candidate-major pair extraction (exact per-frame pair
 # lists like the reference's match_list; ~2.5x slower than the U-capped
 # default at bench scale, useful when per-descriptor caps bite) ----
@@ -293,20 +359,8 @@ def probe_ranges(
 ):
     """(start, end) row ranges of each (descriptor, probe) bucket, plus the
     probe validity mask. Ranges are shard-local when row_offset is given."""
-    m_rows = db.keys.shape[0]
     cells, code, gate = probe_cells(query.sides, query.labels, cfg)  # (D, 27)
-    cs = db.cell_start[cells]
-    ce = db.cell_start[cells + 1]
-    if row_offset is not None:
-        cs = jnp.clip(cs - row_offset, 0, m_rows)
-        ce = jnp.clip(ce - row_offset, 0, m_rows)
-    code_b = code[:, None]
-    # In-cell bisection for the exact (cell, code) bucket; 16 steps cover
-    # cells up to 65536 rows (enforced at DB build).
-    start = _bisect(db.codes, code_b, cs, ce, 16)
-    end = _bisect(db.codes, code_b + 1, cs, ce, 16)
-    probe_ok = gate & query.mask[:, None]
-    return start, end, probe_ok
+    return _bucket_lookup(db, cells, code, gate & query.mask[:, None], row_offset)
 
 
 

@@ -53,6 +53,10 @@ def db_sharding(mesh: Mesh):
         frame_start=NamedSharding(mesh, P(None)),
         frame_poses=NamedSharding(mesh, P(None, None, None)),
         frame_valid=NamedSharding(mesh, P(None)),
+        bucket_table=NamedSharding(mesh, P(None)),
+        cell_remap=NamedSharding(mesh, P(None)),
+        code_remap=NamedSharding(mesh, P(None)),
+        table_stride=NamedSharding(mesh, P(None)),
     )
 
 

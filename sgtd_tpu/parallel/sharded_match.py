@@ -115,6 +115,10 @@ def make_sharded_localizer(mesh: Mesh, config: SGTDConfig = SGTDConfig()):
         frame_start=P(None),
         frame_poses=P(None, None, None),
         frame_valid=P(None),
+        bucket_table=P(None),
+        cell_remap=P(None),
+        code_remap=P(None),
+        table_stride=P(None),
     )
     graph_specs = SemanticGraph(
         centers=P("dp", None, None),

@@ -45,6 +45,10 @@ def test_ring_sweep_matches_single_device(small_config):
         frame_start=NamedSharding(mesh, P(None)),
         frame_poses=NamedSharding(mesh, P(None, None, None)),
         frame_valid=NamedSharding(mesh, P(None)),
+        bucket_table=NamedSharding(mesh, P(None)),
+        cell_remap=NamedSharding(mesh, P(None)),
+        code_remap=NamedSharding(mesh, P(None)),
+        table_stride=NamedSharding(mesh, P(None)),
     )
     sdb = DescriptorDB(*(jax.device_put(x, s) for x, s in zip(tuple(db), tuple(sh))))
 
