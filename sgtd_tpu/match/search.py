@@ -157,13 +157,20 @@ def probe_and_hits(
 
     # --- ragged (CSR-style) bucket scan. ---
     # Bucket depths are highly skewed; a dense (D, 27, max_bucket) scan is
-    # ~90% padding. Instead the exact per-probe bucket lengths are expanded
-    # into one flat job list via jnp.repeat (cumsum + scatter under the
-    # hood), so gather/scatter work equals the true total bucket occupancy,
-    # padded only up to the static caps.max_scan_slots. The lookup above
-    # lands on the exact (cell, code) bucket, so no code re-check is needed;
-    # sides + frame come from TWO uint32 gathers per row (16-bit fixed
-    # point) — TPU random-gather throughput bounds this stage.
+    # ~90% padding. Instead the exact per-probe bucket lengths expand into
+    # one flat job list, so gather/scatter work equals the true total bucket
+    # occupancy, padded only up to the static caps.max_scan_slots. The
+    # expansion is NOT jnp.repeat (whose lowering binary-searches every slot
+    # into the offset table — measured 66 ms/chunk, the stage's largest op):
+    # per-slot row and descriptor ids are rebuilt exactly from scatter-added
+    # integer deltas at the segment heads followed by one cumsum — the
+    # telescoping sum reproduces each segment's base even when empty
+    # segments share a head slot, and a segment straddling the cap is
+    # truncated exactly like repeat would (heads past the cap scatter out
+    # of bounds and drop, as do their slots). The lookup above lands on the
+    # exact (cell, code) bucket, so no code re-check is needed; sides +
+    # frame come from TWO uint32 gathers per row (16-bit fixed point) — TPU
+    # random-gather throughput bounds this stage.
     length = jnp.where(probe_ok, end - start, 0).ravel()  # (D*27,)
     n_jobs = d_max * 27
     offsets = jnp.concatenate(
@@ -172,29 +179,48 @@ def probe_and_hits(
     total = offsets[-1]
     l_max = caps.max_scan_slots
     slot = jnp.arange(l_max, dtype=jnp.int32)
-    job = jnp.repeat(
-        jnp.arange(n_jobs, dtype=jnp.int32), length, total_repeat_length=l_max
-    )
     slot_valid = slot < total
-    row = start.ravel()[job] + (slot - offsets[job])
+    heads = offsets[:-1]  # (D*27,) head slot of each job segment
+
+    def _expand(per_job):
+        """Per-slot value of a per-job quantity via delta scatter + cumsum."""
+        delta = jnp.concatenate([per_job[:1], per_job[1:] - per_job[:-1]])
+        buf = jnp.zeros(l_max, jnp.int32).at[heads].add(delta, mode="drop")
+        return jnp.cumsum(buf)
+
+    # row = (start_j - head_j) + slot within segment j.
+    row = _expand(start.ravel() - heads) + slot
     row_c = jnp.clip(row, 0, m_rows - 1)
-    desc = job // 27  # (L,) nondecreasing
+    job_desc = jnp.arange(n_jobs, dtype=jnp.int32) // 27
+    desc = _expand(job_desc)  # nondecreasing
 
     lo_w = db.packed_lo[row_c]  # (L,) uint32
     hi_w = db.packed_hi[row_c]
-    inv256 = jnp.float32(1.0 / 256.0)
-    sa = (lo_w & 0xFFFF).astype(jnp.float32) * inv256
-    sb = (lo_w >> 16).astype(jnp.float32) * inv256
-    sc = (hi_w & 0xFFFF).astype(jnp.float32) * inv256
     frame_of_hit = (hi_w >> 16).astype(jnp.int32)
 
-    q = query.sides  # (D, 3)
-    da = sa - q[desc, 0]
-    db_ = sb - q[desc, 1]
-    dc = sc - q[desc, 2]
-    dis2 = da * da + db_ * db_ + dc * dc
-    thr2 = jnp.sum(q * q, axis=-1) * jnp.float32(search.rough_dis_threshold) ** 2
-    hit = slot_valid & (dis2 < thr2[desc])  # (L,)
+    # Rough side-length filter in the DB's own 1/256 fixed-point grid. The
+    # query sides are quantised to the same grid (max perturbation 1/512 of
+    # a cell — two orders below the rough threshold) so the per-slot query
+    # values expand through the exact integer delta/cumsum above instead of
+    # four more L-sized random gathers (q[desc, k], thr2[desc] — measured
+    # ~4 ms/query). Two expansions carry all three sides: (a << 15 | b)
+    # and c; thresholds are recomputed per slot on the VPU. 15-bit packing
+    # holds sides up to 127 cells — beyond the key-space validation bound.
+    qq = jnp.clip(jnp.round(query.sides * 256.0), 0, 32767).astype(jnp.int32)
+    qq_j = qq[job_desc]  # (NJ, 3) — job-level gather, 27x smaller than L
+    q_ab = _expand((qq_j[:, 0] << 15) | qq_j[:, 1])
+    q_c = _expand(qq_j[:, 2])
+    q_a = q_ab >> 15
+    q_b = q_ab & 32767
+    da = (lo_w & 0xFFFF).astype(jnp.int32) - q_a
+    db_ = (lo_w >> 16).astype(jnp.int32) - q_b
+    dc = (hi_w & 0xFFFF).astype(jnp.int32) - q_c
+    # int32-safe: sides are <= ~24k fixed-point units (94-cell key-space
+    # bound), so the squared sum stays below 2^31.
+    dis2 = (da * da + db_ * db_ + dc * dc).astype(jnp.float32)
+    qs2 = (q_a * q_a + q_b * q_b + q_c * q_c).astype(jnp.float32)
+    thr2 = qs2 * jnp.float32(search.rough_dis_threshold) ** 2
+    hit = slot_valid & (dis2 < thr2)  # (L,)
 
     # --- exact per-frame vote tally (ref match_array, STDesc.cpp:410-412). ---
     f_pad = db.frame_poses.shape[0]
