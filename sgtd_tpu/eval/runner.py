@@ -121,19 +121,30 @@ def evaluate(
         best_poses = np.array(res.poses[:, 0])
         if use_gicp:
             from sgtd_tpu.geom import se3 as _se3
-            from sgtd_tpu.refine.gicp import gicp_rerank
+            from sgtd_tpu.refine.gicp import gicp_rerank, point_covariances
 
+            if not hasattr(index, "_gicp_cov_cache"):
+                index._gicp_cov_cache = {}
+            cov_cache = index._gicp_cov_cache
             frame_poses = np.asarray(index.db.frame_poses)
             for k in range(len(chunk)):
                 if not bool(res.found[k]):
                     continue
                 frames_k = np.asarray(res.frames[k][:rerank_k])
                 src, src_mask = query_cloud_fn(i + k)
-                tgts, tmasks, inits = [], [], []
+                tgts, tmasks, tcovs, inits = [], [], [], []
                 for c in range(rerank_k):
-                    tp, tm = map_cloud_fn(int(frames_k[c]))
+                    fid = int(frames_k[c])
+                    tp, tm = map_cloud_fn(fid)
+                    # Map keyframe covariances are pose-independent: compute
+                    # once per keyframe, reuse across queries/candidates.
+                    if fid not in cov_cache:
+                        cov_cache[fid] = point_covariances(
+                            jnp.asarray(tp), jnp.asarray(tm), cfg.gicp
+                        )
                     tgts.append(tp)
                     tmasks.append(tm)
+                    tcovs.append(cov_cache[fid])
                     T_loop = np.eye(4, dtype=np.float32)
                     T_loop[:3, :3] = np.asarray(res.rot[k][c])
                     T_loop[:3, 3] = np.asarray(res.trans[k][c])
@@ -142,6 +153,7 @@ def evaluate(
                     jnp.asarray(src), jnp.asarray(src_mask),
                     jnp.asarray(np.stack(tgts)), jnp.asarray(np.stack(tmasks)),
                     jnp.asarray(np.stack(inits)), cfg.gicp,
+                    tgt_covs=jnp.stack(tcovs),
                 )
                 fit = np.asarray(out.fitness)
                 # best_fitness early accept in candidate order, else min

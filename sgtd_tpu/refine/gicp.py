@@ -37,6 +37,17 @@ from sgtd_tpu.ops.linalg3 import inv3x3, sym_eig3x3
 _BIG = jnp.float32(1e30)
 
 
+def _bsum_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., i, j) @ (..., j, k) as broadcast-multiply-sum.
+
+    XLA:TPU lowers huge batches of tiny (3x3) dot_generals poorly when the
+    operands come from gathers inside a scan under vmap (measured 65x slower
+    than this form on the multi-candidate rerank); the broadcast-sum fuses
+    into plain VPU elementwise work.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
 class GicpResult(NamedTuple):
     transform: jnp.ndarray  # (4, 4) refined src -> tgt
     fitness: jnp.ndarray  # () mean squared NN distance
@@ -44,12 +55,18 @@ class GicpResult(NamedTuple):
 
 
 def _chunked_sq_dists(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 1024):
-    """Yield squared-distance blocks (chunk, T) via the matmul expansion."""
+    """Yield squared-distance blocks (chunk, T) via the matmul expansion.
+
+    The cross-term matmul runs at HIGHEST precision: the TPU default feeds
+    the MXU bf16 inputs, and with |coords| ~ 50 the cancellation error in
+    q_sq + ref_sq - 2 q.r reaches O(10) m^2 — enough to corrupt nearest
+    neighbours. The matmul is K=3, a negligible FLOP count either way.
+    """
     ref_sq = jnp.sum(ref * ref, axis=-1)  # (T,)
 
     def block(qc):
         q_sq = jnp.sum(qc * qc, axis=-1)  # (chunk,)
-        cross = qc @ ref.T  # MXU: (chunk, 3) x (3, T)
+        cross = jnp.dot(qc, ref.T, precision=jax.lax.Precision.HIGHEST)
         return q_sq[:, None] + ref_sq[None, :] - 2.0 * cross
 
     return block
@@ -58,22 +75,29 @@ def _chunked_sq_dists(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 1024):
 def knn_indices(
     points: jnp.ndarray, mask: jnp.ndarray, k: int, chunk: int = 1024
 ) -> jnp.ndarray:
-    """k nearest neighbours (self included) within one masked cloud: (N, k)."""
-    n = points.shape[0]
-    block = _chunked_sq_dists(points, points, chunk)
-    inv = jnp.where(mask, 0.0, _BIG)
+    """k nearest neighbours (self included) within one masked cloud: (N, k).
 
-    def body(qc_and_mask):
-        qc, qm = qc_and_mask
-        d = block(qc) + inv[None, :]  # mask cols
-        d = jnp.where(qm[:, None], d, _BIG)
+    Masking is done by DISPLACING masked points to a far coordinate rather
+    than editing the distance matrix: any elementwise epilogue between the
+    distance expression and top_k breaks XLA:TPU's fused matmul+TopK
+    pattern and falls back to a full per-row sort — measured 170x slower
+    (17.5 ms vs 0.1 ms for 8192x8192, k=20). Padding points cluster among
+    themselves at the far coordinate; their outputs are gated by ``mask``
+    downstream, exactly as with distance masking.
+    """
+    n = points.shape[0]
+    pts_eff = jnp.where(mask[:, None], points, jnp.float32(1e6))
+    ref_sq = jnp.sum(pts_eff * pts_eff, axis=-1)
+
+    def body(qc):
+        q_sq = jnp.sum(qc * qc, axis=-1)
+        cross = jnp.dot(qc, pts_eff.T, precision=jax.lax.Precision.HIGHEST)
+        d = q_sq[:, None] + ref_sq[None, :] - 2.0 * cross
         _, idx = jax.lax.top_k(-d, k)
         return idx
 
     n_chunks = n // chunk
-    pts_c = points.reshape(n_chunks, chunk, 3)
-    mask_c = mask.reshape(n_chunks, chunk)
-    idx = jax.lax.map(body, (pts_c, mask_c))
+    idx = jax.lax.map(body, pts_eff.reshape(n_chunks, chunk, 3))
     return idx.reshape(n, k)
 
 
@@ -85,13 +109,12 @@ def point_covariances(
     neigh = points[idx]  # (N, k, 3)
     mu = jnp.mean(neigh, axis=1, keepdims=True)
     d = neigh - mu
-    cov = jnp.einsum("nki,nkj->nij", d, d) / cfg.num_neighbors
+    # Outer-product accumulation as broadcast-sum (see _bsum_mm).
+    cov = jnp.sum(d[..., :, None] * d[..., None, :], axis=-3) / cfg.num_neighbors
     # Replace eigenvalues with (eps, 1, 1) ascending (PLANE regularization).
     _, vecs = sym_eig3x3(cov)
     vals_reg = jnp.asarray([cfg.plane_eps, 1.0, 1.0], cov.dtype)
-    cov_reg = jnp.einsum(
-        "nij,j,nkj->nik", vecs, vals_reg, vecs
-    )
+    cov_reg = _bsum_mm(vecs * vals_reg[None, None, :], jnp.swapaxes(vecs, -1, -2))
     return jnp.where(mask[:, None, None], cov_reg, jnp.eye(3, dtype=cov.dtype))
 
 
@@ -111,20 +134,20 @@ def gicp_align(
     if tgt_cov is None:
         tgt_cov = point_covariances(tgt, tgt_mask, cfg)
 
-    tgt_block = _chunked_sq_dists(src, tgt)  # closure on tgt below
-    inv_tgt = jnp.where(tgt_mask, 0.0, _BIG)
+    # Masked target points displaced far away (see knn_indices: editing the
+    # distance matrix breaks the fused matmul+reduction lowering).
+    tgt_eff = jnp.where(tgt_mask[:, None], tgt, jnp.float32(1e6))
     chunk = 1024
     n = src.shape[0]
     n_chunks = n // chunk
 
     def nn_of(transformed):
         """Nearest target index + sq dist for each (transformed) src point."""
-        block = _chunked_sq_dists(transformed, tgt, chunk)
+        block = _chunked_sq_dists(transformed, tgt_eff, chunk)
 
         def body(qc):
-            d = block(qc) + inv_tgt[None, :]
-            nd, ni = jax.lax.top_k(-d, 1)
-            return ni[:, 0], -nd[:, 0]
+            d = block(qc)
+            return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
 
         idx, dist = jax.lax.map(body, transformed.reshape(n_chunks, chunk, 3))
         return idx.reshape(n), dist.reshape(n)
@@ -137,7 +160,11 @@ def gicp_align(
         b_pts = tgt[nn]
         cb = tgt_cov[nn]
         # Mahalanobis (C_B + R C_A R^T)^-1 (fast_gicp_impl.hpp:148-153).
-        rcr = cb + jnp.einsum("ij,njk,lk->nil", R, src_cov, R)
+        # Small matmuls as broadcast-sums, reductions over points as ONE
+        # (6, 3N) x (3N, 6) MXU matmul — tiny batched dot_generals here ran
+        # 65x slower under the candidate vmap (see _bsum_mm).
+        rn = jnp.broadcast_to(R, (n, 3, 3))
+        rcr = cb + _bsum_mm(_bsum_mm(rn, src_cov), jnp.swapaxes(rn, -1, -2))
         M = inv3x3(rcr)
         r = b_pts - moved  # (N, 3)
         valid = src_mask & tgt_mask[nn]
@@ -148,9 +175,11 @@ def gicp_align(
             [-jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), sk.shape), sk],
             axis=-1,
         )  # (N, 3, 6)
-        MJ = jnp.einsum("nij,njk->nik", M, J)
-        H = jnp.einsum("nji,njk,n->ik", J, MJ, w)  # (6, 6)
-        g = jnp.einsum("nji,njk,nk,n->i", J, M, r, w)  # (6,)
+        MJ = _bsum_mm(M, J)  # (N, 3, 6)
+        Jw = (J * w[:, None, None]).reshape(n * 3, 6)
+        H = Jw.T @ MJ.reshape(n * 3, 6)  # (6, 6)
+        Mr = jnp.sum(M * r[:, None, :], axis=-1)  # (N, 3) = M r
+        g = Jw.T @ Mr.reshape(n * 3)  # (6,)
         delta = jnp.linalg.solve(H + 1e-6 * jnp.eye(6, dtype=H.dtype), -g)
         T_new = se3.se3_exp(delta) @ T
         small = (
@@ -167,7 +196,9 @@ def gicp_align(
     nn, sqd = nn_of(moved)
     valid = src_mask & tgt_mask[nn]
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    fitness = jnp.sum(jnp.where(valid, sqd, 0.0)) / n_valid
+    # Clamp: residual f32 cancellation in the matmul expansion can leave
+    # tiny negative squared distances at exact matches.
+    fitness = jnp.sum(jnp.where(valid, jnp.maximum(sqd, 0.0), 0.0)) / n_valid
     return GicpResult(
         transform=T_final,
         fitness=fitness,
@@ -183,6 +214,7 @@ def gicp_rerank(
     tgt_masks: jnp.ndarray,
     init_transforms: jnp.ndarray,
     cfg: GicpConfig = GicpConfig(),
+    tgt_covs: jnp.ndarray | None = None,
 ) -> GicpResult:
     """Multi-candidate GICP rerank (ref candidate loop,
     semantic_graph_localization.cpp:672-722): align the query cloud against
@@ -190,12 +222,20 @@ def gicp_rerank(
     the best_fitness early-accept. Source covariances are shared.
 
     src: (S, 3); tgts: (K, T, 3); init_transforms: (K, 4, 4).
+    ``tgt_covs`` (K, T, 3, 3): precomputed target covariances — map
+    keyframe clouds are fixed, so computing them once at map load removes
+    the per-query kNN+eig over every candidate cloud (its dominant cost).
     """
     src_cov = point_covariances(src, src_mask, cfg)
 
-    def one(tgt, tmask, T0):
+    def one(tgt, tmask, T0, tcov):
         return gicp_align(
-            src, src_mask, tgt, tmask, T0, cfg, src_cov=src_cov
+            src, src_mask, tgt, tmask, T0, cfg,
+            src_cov=src_cov, tgt_cov=tcov,
         )
 
-    return jax.vmap(one)(tgts, tgt_masks, init_transforms)
+    if tgt_covs is None:
+        tgt_covs = jax.vmap(
+            lambda t, m: point_covariances(t, m, cfg)
+        )(tgts, tgt_masks)
+    return jax.vmap(one)(tgts, tgt_masks, init_transforms, tgt_covs)
