@@ -114,3 +114,71 @@ def localize_batch(
     """vmap of :func:`localize` over a leading batch of query graphs."""
     fn = functools.partial(localize, config=config)
     return jax.vmap(fn, in_axes=(None, 0))(db, graphs)
+
+
+class RefinedResult(NamedTuple):
+    """LocalizationResult plus the GICP-refined world pose.
+
+    pose:     (4, 4) float32 — final pose (refined when accepted, else the
+              descriptor pose), ref semantic_graph_localization.cpp:747.
+    refined:  () bool — GICP result was accepted (found, converged nearby).
+    fitness:  () float32 — fitness of the picked candidate.
+    result:   the underlying LocalizationResult.
+    """
+
+    pose: jnp.ndarray
+    refined: jnp.ndarray
+    fitness: jnp.ndarray
+    result: LocalizationResult
+
+
+@functools.partial(jax.jit, static_argnames=("config", "rerank_k"))
+def localize_refined(
+    db: DescriptorDB,
+    graph: SemanticGraph,
+    query_cloud: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    map_clouds: jnp.ndarray,
+    map_masks: jnp.ndarray,
+    map_covs: jnp.ndarray,
+    config: SGTDConfig = SGTDConfig(),
+    rerank_k: int = 4,
+) -> RefinedResult:
+    """One-shot localization INCLUDING multi-candidate GICP rerank, as one
+    XLA program — the analog of the reference's full headline configuration
+    (SG-STD-gicp-multi: candidate loop semantic_graph_localization.cpp:651-723).
+
+    The reference runs GICP serially per candidate with an early break; here
+    the top ``rerank_k`` candidates align batched (compute is cheap once
+    lowered properly, BENCH_NOTES.md) and the pick reproduces the early-
+    accept semantics: first candidate in score order with fitness below
+    best_fitness, else the minimum-fitness candidate (ref :703-720).
+
+    map_clouds (F, P, 3) / map_masks (F, P) / map_covs (F, P, 3, 3) are the
+    per-keyframe clouds + precomputed GICP covariances pinned on device.
+    """
+    from sgtd_tpu.refine.gicp import gicp_rerank
+
+    res = localize(db, graph, config)
+    frames_k = res.frames[:rerank_k]  # (K,) score-sorted
+    tgts = map_clouds[frames_k]
+    tmasks = map_masks[frames_k]
+    tcovs = map_covs[frames_k]
+    inits = se3.rt_to_mat(res.rot[:rerank_k], res.trans[:rerank_k])
+    out = gicp_rerank(
+        query_cloud, query_mask, tgts, tmasks, inits, config.gicp,
+        tgt_covs=tcovs,
+    )
+    good = out.fitness < jnp.float32(config.gicp.best_fitness)
+    pick = jnp.where(jnp.any(good), jnp.argmax(good), jnp.argmin(out.fitness))
+    refined_pose = db.frame_poses[frames_k[pick]] @ out.transform[pick]
+    best = res.poses[0]
+    # Divergence guard (wrong-basin ICP on repetitive structure).
+    shift = jnp.linalg.norm(refined_pose[:3, 3] - best[:3, 3])
+    use = res.found & (shift <= jnp.float32(config.gicp.max_refine_shift_m))
+    return RefinedResult(
+        pose=jnp.where(use, refined_pose, best),
+        refined=use,
+        fitness=out.fitness[pick],
+        result=res,
+    )

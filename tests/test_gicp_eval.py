@@ -54,3 +54,52 @@ def test_evaluate_with_gicp(small_config, with_gicp):
         # it converges to the same pose from ground-truth init). The wiring
         # check is that refinement stays well within the 5 m success gate.
         assert out["rmse_trans_m"] < 4.0, out
+
+
+def test_localize_refined_one_program(small_config):
+    """Fully-jitted localization + GICP rerank (the bench pipeline)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from sgtd_tpu.config import GicpConfig
+    from sgtd_tpu.eval.metrics import rpe
+    from sgtd_tpu.match.pipeline import localize_refined
+    from sgtd_tpu.refine.gicp import point_covariances
+    from sgtd_tpu.eval.runner import build_map_index, stack_graphs
+
+    cfg = small_config.replace(
+        gicp=GicpConfig(num_neighbors=8, max_iterations=6, max_points=1024)
+    )
+    maps, queries, world = make_map_and_queries(
+        cfg, seed=31, num_map_frames=16, num_queries=4,
+        center_noise_m=0.05, dropout=0.1,
+    )
+    index = build_map_index(maps, cfg)
+    cfg = index.config
+    rng = np.random.default_rng(5)
+    mc, mm = zip(*(render_cloud(world, p, rng, max_points=1024)
+                   for p in world.map_poses))
+    map_clouds = jnp.asarray(np.stack(mc))
+    map_masks = jnp.asarray(np.stack(mm))
+    # frame_poses is padded to a multiple of 8 — pad clouds to match.
+    f_pad = index.db.frame_poses.shape[0]
+    pad = f_pad - map_clouds.shape[0]
+    map_clouds = jnp.pad(map_clouds, ((0, pad), (0, 0), (0, 0)))
+    map_masks = jnp.pad(map_masks, ((0, pad), (0, 0)))
+    map_covs = jax.vmap(
+        functools.partial(point_covariances, cfg=cfg.gicp)
+    )(map_clouds, map_masks)
+
+    qc, qm = zip(*(render_cloud(world, p, rng, max_points=1024)
+                   for p in world.query_poses))
+    fn = jax.jit(jax.vmap(
+        functools.partial(localize_refined, config=cfg, rerank_k=2),
+        in_axes=(None, 0, 0, 0, None, None, None),
+    ))
+    out = fn(index.db, stack_graphs(queries), jnp.asarray(np.stack(qc)),
+             jnp.asarray(np.stack(qm)), map_clouds, map_masks, map_covs)
+    for i, g in enumerate(queries):
+        assert bool(out.result.found[i])
+        t_err, r_err = rpe(np.asarray(g.pose), np.asarray(out.pose[i]))
+        assert t_err < cfg.success_trans_m and r_err < cfg.success_rot_deg, (
+            i, t_err, r_err, bool(out.refined[i]))
