@@ -113,6 +113,25 @@ class GicpConfig:
     trans_eps: float = 5e-4
     # Plane regularization eigenvalues (ref fast_gicp_impl.hpp:284).
     plane_eps: float = 1e-3
+    # Registration engine: "gicp" (point-to-point NN, ref fast_gicp) or
+    # "vgicp" (Gaussian voxel map, ref fast_vgicp).
+    engine: str = "gicp"
+    # SE(3) stepping: "gn" (plain Gauss-Newton) or "lm" (the reference's
+    # Levenberg-Marquardt trust region, lsq_registration_impl.hpp:123-163).
+    optimizer: str = "gn"
+    # LM knobs (ref LsqRegistration ctor, lsq_registration_impl.hpp:9-21).
+    lm_max_inner: int = 8  # ref lm_max_iterations_ = 10
+    lm_init_lambda_factor: float = 1e-9
+    # GN step damping. The reference's step_gn solves the UNDAMPED normal
+    # equations (lsq_registration_impl.hpp:106-113) and explodes on
+    # rank-deficient H (degenerate geometry) — which is why LM is its
+    # default optimizer. The small fixed damping here keeps the fast GN
+    # path safe on such scenes; set 0.0 for reference-exact GN.
+    gn_damping: float = 1e-6
+    # VGICP voxel map (ref FastVGICP ctor, fast_vgicp_impl.hpp:19-25).
+    voxel_resolution: float = 1.0
+    neighbor_search: str = "direct1"  # direct1 | direct7 | direct27
+    voxel_mode: str = "additive"  # additive | multiplicative
     # Reject a refinement that moves the pose further than this from the
     # geometrically-verified descriptor estimate (a diverged ICP on
     # repetitive structure; guard absent in the reference).

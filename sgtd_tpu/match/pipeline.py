@@ -158,6 +158,7 @@ def localize_refined(
     per-keyframe clouds + precomputed GICP covariances pinned on device.
     """
     from sgtd_tpu.refine.gicp import gicp_rerank
+    from sgtd_tpu.refine.vgicp import vgicp_rerank
 
     res = localize(db, graph, config)
     frames_k = res.frames[:rerank_k]  # (K,) score-sorted
@@ -165,7 +166,8 @@ def localize_refined(
     tmasks = map_masks[frames_k]
     tcovs = map_covs[frames_k]
     inits = se3.rt_to_mat(res.rot[:rerank_k], res.trans[:rerank_k])
-    out = gicp_rerank(
+    rerank = vgicp_rerank if config.gicp.engine == "vgicp" else gicp_rerank
+    out = rerank(
         query_cloud, query_mask, tgts, tmasks, inits, config.gicp,
         tgt_covs=tcovs,
     )

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from sgtd_tpu.config import GicpConfig
 from sgtd_tpu.geom import se3
 from sgtd_tpu.ops.linalg3 import inv3x3, sym_eig3x3
+from sgtd_tpu.refine.lsq import gn_solve, lm_solve
 
 _BIG = jnp.float32(1e30)
 
@@ -152,17 +153,19 @@ def gicp_align(
         idx, dist = jax.lax.map(body, transformed.reshape(n_chunks, chunk, 3))
         return idx.reshape(n), dist.reshape(n)
 
-    def gn_step(carry, _):
-        T = carry
+    def linearize(T):
+        """linearize (fast_gicp_impl.hpp:118-176): correspondences + H, g.
+
+        Small matmuls as broadcast-sums, reductions over points as ONE
+        (6, 3N) x (3N, 6) MXU matmul — tiny batched dot_generals here ran
+        65x slower under the candidate vmap (see _bsum_mm).
+        """
         R = T[:3, :3]
         moved = src @ R.T + T[:3, 3]
         nn, _ = nn_of(moved)
         b_pts = tgt[nn]
         cb = tgt_cov[nn]
         # Mahalanobis (C_B + R C_A R^T)^-1 (fast_gicp_impl.hpp:148-153).
-        # Small matmuls as broadcast-sums, reductions over points as ONE
-        # (6, 3N) x (3N, 6) MXU matmul — tiny batched dot_generals here ran
-        # 65x slower under the candidate vmap (see _bsum_mm).
         rn = jnp.broadcast_to(R, (n, 3, 3))
         rcr = cb + _bsum_mm(_bsum_mm(rn, src_cov), jnp.swapaxes(rn, -1, -2))
         M = inv3x3(rcr)
@@ -180,17 +183,38 @@ def gicp_align(
         H = Jw.T @ MJ.reshape(n * 3, 6)  # (6, 6)
         Mr = jnp.sum(M * r[:, None, :], axis=-1)  # (N, 3) = M r
         g = Jw.T @ Mr.reshape(n * 3)  # (6,)
-        delta = jnp.linalg.solve(H + 1e-6 * jnp.eye(6, dtype=H.dtype), -g)
-        T_new = se3.se3_exp(delta) @ T
-        small = (
-            jnp.max(jnp.abs(delta[3:])) < cfg.rot_eps
-        ) & (jnp.max(jnp.abs(delta[:3])) < cfg.trans_eps)
-        T = jnp.where(small, T, T_new)
-        return T, None
+        y0 = jnp.sum(w * jnp.sum(r * Mr, axis=-1))
+        return H, g, y0, (nn, M, w)
 
-    T_final, _ = jax.lax.scan(
-        gn_step, init_transform.astype(src.dtype), None, length=cfg.max_iterations
-    )
+    def error(T, aux):
+        """compute_error: same correspondences + Mahalanobis terms, new T
+        (the reference reuses mahalanobis_ from the last linearization,
+        fast_gicp_impl.hpp:178-200)."""
+        nn, M, w = aux
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        r = tgt[nn] - moved
+        Mr = jnp.sum(M * r[:, None, :], axis=-1)
+        return jnp.sum(w * jnp.sum(r * Mr, axis=-1))
+
+    T0 = init_transform.astype(src.dtype)
+    if cfg.optimizer == "lm":
+        res = lm_solve(
+            linearize, error, T0,
+            max_iterations=cfg.max_iterations,
+            lm_inner=cfg.lm_max_inner,
+            rot_eps=cfg.rot_eps,
+            trans_eps=cfg.trans_eps,
+            init_lambda_factor=cfg.lm_init_lambda_factor,
+        )
+    else:
+        res = gn_solve(
+            linearize, T0,
+            max_iterations=cfg.max_iterations,
+            rot_eps=cfg.rot_eps,
+            trans_eps=cfg.trans_eps,
+            damping=cfg.gn_damping,
+        )
+    T_final = res.transform
 
     moved = src @ T_final[:3, :3].T + T_final[:3, 3]
     nn, sqd = nn_of(moved)

@@ -1,0 +1,162 @@
+"""Levenberg-Marquardt / Gauss-Newton stepping on SE(3), shared by the
+registration engines (GICP / VGICP / NDT).
+
+TPU-native re-design of the reference's ``LsqRegistration`` optimizer
+(src/sgtd/include/fast_gicp/gicp/impl/lsq_registration_impl.hpp:53-163):
+
+  * ``step_gn``: one linearize + 6x6 solve per iteration (:106-120);
+  * ``step_lm``: lambda trust region — lambda initialised to
+    ``init_factor * max|diag H|`` on the first step (:128-130), inner loop
+    solving (H + lambda I) d = -b, gain ratio
+    ``rho = (y0 - yi) / d.(lambda d - b)`` (:142), rejection doubles
+    lambda via nu, acceptance scales it by max(1/3, 1 - (2 rho - 1)^3)
+    (:147-160);
+  * convergence: elementwise ``max(|dR|/rot_eps, |dt|/trans_eps) < 1`` on
+    the step's delta transform (:82-93).
+
+The reference's early-exit loops become fixed-trip ``lax.scan`` with a
+``done`` mask (SURVEY.md hard-part (d)): every iteration computes, converged
+states stop updating. The engine supplies two callbacks:
+
+  linearize(T) -> (H (6,6), g (6,), y0 (), aux)
+      H = J^T M J, g = J^T M r accumulated over correspondences found at T
+      (the reference's ``linearize``; correspondences live in ``aux``);
+  error(T, aux) -> y ()
+      cost at T re-using the correspondences/weights from ``aux`` — exactly
+      like the reference's ``compute_error``, which reuses the Mahalanobis
+      terms computed at linearization (fast_gicp_impl.hpp:118-155).
+
+State convention: T <- se3_exp(d) @ T with d = [translation, rotation]
+(the reference orders [rotation, translation]; the math is identical).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgtd_tpu.geom import se3
+
+
+class LsqResult(NamedTuple):
+    transform: jnp.ndarray  # (4, 4)
+    converged: jnp.ndarray  # () bool
+    final_cost: jnp.ndarray  # () y at the last accepted linearization
+
+
+def _is_converged(delta_T: jnp.ndarray, rot_eps: float, trans_eps: float):
+    """lsq_registration_impl.hpp:82-93."""
+    r = jnp.max(jnp.abs(delta_T[:3, :3] - jnp.eye(3, dtype=delta_T.dtype)))
+    t = jnp.max(jnp.abs(delta_T[:3, 3]))
+    return jnp.maximum(r / rot_eps, t / trans_eps) < 1.0
+
+
+def gn_solve(
+    linearize: Callable,
+    T0: jnp.ndarray,
+    *,
+    max_iterations: int,
+    rot_eps: float = 2e-3,
+    trans_eps: float = 5e-4,
+    damping: float = 1e-6,
+) -> LsqResult:
+    """Gauss-Newton (step_gn, lsq_registration_impl.hpp:106-120)."""
+    eye6 = jnp.eye(6, dtype=T0.dtype)
+
+    def step(carry, _):
+        T, done, y_last = carry
+        H, g, y0, _ = linearize(T)
+        d = jnp.linalg.solve(H + damping * eye6, -g)
+        delta_T = se3.se3_exp(d)
+        conv = _is_converged(delta_T, rot_eps, trans_eps)
+        T_new = jnp.where(done, T, delta_T @ T)
+        y_new = jnp.where(done, y_last, y0)
+        return (T_new, done | conv, y_new), None
+
+    (T, done, y), _ = jax.lax.scan(
+        step, (T0, jnp.asarray(False), jnp.asarray(jnp.inf, T0.dtype)),
+        None, length=max_iterations,
+    )
+    return LsqResult(transform=T, converged=done, final_cost=y)
+
+
+def lm_solve(
+    linearize: Callable,
+    error: Callable,
+    T0: jnp.ndarray,
+    *,
+    max_iterations: int,
+    lm_inner: int = 8,
+    rot_eps: float = 2e-3,
+    trans_eps: float = 5e-4,
+    init_lambda_factor: float = 1e-9,
+) -> LsqResult:
+    """Levenberg-Marquardt (step_lm, lsq_registration_impl.hpp:123-163).
+
+    ``lm_inner`` is the reference's ``lm_max_iterations_`` (default 10
+    there; 8 here — each rejection doubles nu so lambda grows ~2^(k(k+1)/2),
+    far past any useful trust region within 8 tries).
+    """
+    eye6 = jnp.eye(6, dtype=T0.dtype)
+    dt = T0.dtype
+
+    def outer(carry, _):
+        T, lam, done = carry
+        H, g, y0, aux = linearize(T)
+        # Lazy lambda init (lsq_registration_impl.hpp:128-130).
+        lam = jnp.where(
+            lam < 0.0,
+            init_lambda_factor * jnp.max(jnp.abs(jnp.diagonal(H))),
+            lam,
+        )
+
+        def inner(st, _):
+            T_i, lam_i, nu, accepted, conv = st
+            d = jnp.linalg.solve(H + lam_i * eye6, -g)
+            delta_T = se3.se3_exp(d)
+            T_try = delta_T @ T  # retraction from the linearization point
+            yi = error(T_try, aux)
+            rho = (y0 - yi) / jnp.dot(d, lam_i * d - g)  # :142
+            active = ~accepted & ~done
+            take = active & (rho >= 0.0)
+            reject = active & (rho < 0.0)
+            # Reject: converged-small step ends the optimization without
+            # moving (:147-151); otherwise grow lambda (:153-154).
+            step_conv = _is_converged(delta_T, rot_eps, trans_eps)
+            conv = conv | ((take | reject) & step_conv)
+            lam_new = jnp.where(
+                take,
+                lam_i * jnp.maximum(
+                    jnp.asarray(1.0 / 3.0, dt),
+                    1.0 - (2.0 * rho - 1.0) ** 3,
+                ),  # :159
+                jnp.where(reject & ~step_conv, nu * lam_i, lam_i),
+            )
+            nu_new = jnp.where(reject & ~step_conv, 2.0 * nu, nu)
+            T_new = jnp.where(take, T_try, T_i)
+            # A converged rejection also stops trying (reference returns).
+            accepted = accepted | take | (reject & step_conv)
+            return (T_new, lam_new, nu_new, accepted, conv), None
+
+        (T_new, lam_new, _, accepted, conv), _ = jax.lax.scan(
+            inner,
+            (T, lam, jnp.asarray(2.0, dt), done, jnp.asarray(False)),
+            None,
+            length=lm_inner,
+        )
+        # Inner exhaustion without acceptance = "lm not converged" break
+        # (lsq_registration_impl.hpp computeTransformation :70-73).
+        done_new = done | conv | ~accepted
+        T_out = jnp.where(done, T, T_new)
+        lam_out = jnp.where(done, lam, lam_new)
+        return (T_out, lam_out, done_new), y0
+
+    (T, _, done), ys = jax.lax.scan(
+        outer,
+        (T0, jnp.asarray(-1.0, dt), jnp.asarray(False)),
+        None,
+        length=max_iterations,
+    )
+    return LsqResult(transform=T, converged=done, final_cost=ys[-1])
