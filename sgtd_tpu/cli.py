@@ -108,19 +108,68 @@ def _cmd_build_map(args):
 
 
 def _cmd_localize(args):
+    import dataclasses
+
     from sgtd_tpu.config import SGTDConfig
     from sgtd_tpu.eval.runner import build_map_index, evaluate
     from sgtd_tpu.io.graph_json import read_graph_dir
 
     cfg = SGTDConfig()
+    if args.enable_gicp:
+        cfg = cfg.replace(
+            gicp=dataclasses.replace(
+                cfg.gicp,
+                enable=True,
+                engine=args.engine,
+                leaf_size=args.leaf_size,
+                max_points=args.gicp_max_points,
+            )
+        )
     map_graphs = read_graph_dir(args.map_graphs, cfg)
     query_graphs = read_graph_dir(args.query_graphs, cfg)
     print(
         f"[localize] map={len(map_graphs)} queries={len(query_graphs)}",
         file=sys.stderr,
     )
+
+    # GICP rerank cloud loaders (ref semantic_graph_localization.cpp:651-723:
+    # the query .bin is origin-filtered + voxel-downsampled at leaf_size, the
+    # candidate keyframe .bins are used as-is). Scan files pair with graphs
+    # by sorted basename, exactly like the reference's path construction.
+    query_cloud_fn = map_cloud_fn = None
+    if args.enable_gicp:
+        from sgtd_tpu.io import readers
+        from sgtd_tpu.ops.voxel import load_query_cloud
+
+        if not (args.query_scans and args.map_scans):
+            raise SystemExit("--enable-gicp requires --query-scans/--map-scans")
+        q_bins = readers.list_scans(args.query_scans, ".bin")
+        m_bins = readers.list_scans(args.map_scans, ".bin")
+        if len(q_bins) != len(query_graphs) or len(m_bins) != len(map_graphs):
+            raise SystemExit(
+                f"scan/graph count mismatch: {len(q_bins)} query bins vs "
+                f"{len(query_graphs)} graphs, {len(m_bins)} map bins vs "
+                f"{len(map_graphs)} graphs"
+            )
+
+        def query_cloud_fn(i):
+            pts = readers.read_bin(q_bins[i])[:, :3]
+            return load_query_cloud(pts, cfg.gicp.leaf_size, cfg.gicp.max_points)
+
+        def map_cloud_fn(fid):
+            # Map clouds are not downsampled (ref :703-711, commented out).
+            pts = readers.read_bin(m_bins[fid])[:, :3]
+            return load_query_cloud(pts, 0.0, cfg.gicp.max_points)
+
     index = build_map_index(map_graphs, cfg)
-    out = evaluate(index, query_graphs, batch_size=args.batch_size)
+    out = evaluate(
+        index,
+        query_graphs,
+        batch_size=args.batch_size,
+        query_cloud_fn=query_cloud_fn,
+        map_cloud_fn=map_cloud_fn,
+        rerank_k=args.rerank_k,
+    )
     print(json.dumps(out, indent=2))
 
 
@@ -182,6 +231,18 @@ def main(argv=None):
     l.add_argument("--map-graphs", required=True)
     l.add_argument("--query-graphs", required=True)
     l.add_argument("--batch-size", type=int, default=16)
+    l.add_argument("--enable-gicp", action="store_true",
+                   help="multi-candidate registration rerank from raw scans "
+                        "(the reference's enable_gicp headline path)")
+    l.add_argument("--engine", choices=["gicp", "vgicp"], default="gicp")
+    l.add_argument("--query-scans", default=None,
+                   help=".bin dir pairing with --query-graphs by sort order")
+    l.add_argument("--map-scans", default=None,
+                   help=".bin dir pairing with --map-graphs by sort order")
+    l.add_argument("--leaf-size", type=float, default=3.0,
+                   help="query-cloud voxel downsample leaf (ref SG_data)")
+    l.add_argument("--gicp-max-points", type=int, default=8192)
+    l.add_argument("--rerank-k", type=int, default=4)
     l.set_defaults(fn=_cmd_localize)
 
     e = sub.add_parser("eval-synth", help="synthetic-world evaluation")

@@ -122,6 +122,11 @@ def evaluate(
         if use_gicp:
             from sgtd_tpu.geom import se3 as _se3
             from sgtd_tpu.refine.gicp import gicp_rerank, point_covariances
+            from sgtd_tpu.refine.vgicp import vgicp_rerank
+
+            rerank_fn = (
+                vgicp_rerank if cfg.gicp.engine == "vgicp" else gicp_rerank
+            )
 
             if not hasattr(index, "_gicp_cov_cache"):
                 index._gicp_cov_cache = {}
@@ -149,7 +154,7 @@ def evaluate(
                     T_loop[:3, :3] = np.asarray(res.rot[k][c])
                     T_loop[:3, 3] = np.asarray(res.trans[k][c])
                     inits.append(T_loop)
-                out = gicp_rerank(
+                out = rerank_fn(
                     jnp.asarray(src), jnp.asarray(src_mask),
                     jnp.asarray(np.stack(tgts)), jnp.asarray(np.stack(tmasks)),
                     jnp.asarray(np.stack(inits)), cfg.gicp,
