@@ -258,10 +258,12 @@ def build_database_stacked(
     # 16-bit fixed-point side packing (resolution 1/256 = 0.004 cells, far
     # below the rough-match threshold).
     qs = np.clip(np.round(sides * 256.0), 0, 65535).astype(np.uint32)
-    if f_n >= 65536:
-        raise ValueError("packed frame ids support up to 65535 keyframes")
+    # Frame ids pack into packed_hi's high 16 bits; DBs beyond 65536
+    # keyframes (f_pad > 65536 — the reference's MAX_FRAME_N=20000 ceiling
+    # lifted) make the search gather frame_ids instead (search._frame_of_rows
+    # keys off the static frame_poses shape), so the packed field is unused.
     packed_lo = qs[:, 0] | (qs[:, 1] << 16)
-    packed_hi = qs[:, 2] | (frames.astype(np.uint32) << 16)
+    packed_hi = qs[:, 2] | ((frames.astype(np.uint32) & 0xFFFF) << 16)
     table, cell_remap, code_remap, stride = _build_bucket_table_np(
         keys, extent, caps.bucket_table_slots, m_pad, max_bucket
     )

@@ -68,7 +68,9 @@ def _assemble(
     codes = jnp.where(valid_s, key_s % _N_CODES, -1)
     qs = jnp.clip(jnp.round(sides_s * 256.0), 0, 65535).astype(jnp.uint32)
     packed_lo = qs[:, 0] | (qs[:, 1] << 16)
-    packed_hi = qs[:, 2] | (frames_s.astype(jnp.uint32) << 16)
+    # Frame ids beyond 16 bits are unpackable; wide-frame DBs are served by
+    # the frame_ids gather instead (search._frame_of_rows).
+    packed_hi = qs[:, 2] | ((frames_s.astype(jnp.uint32) & 0xFFFF) << 16)
 
     n_cells_total = extent * extent * extent
     cells = jnp.where(valid_s, key_s // _N_CODES, n_cells_total)
@@ -237,7 +239,7 @@ def _append_assemble(db, new_descs, new_poses, cfg, f_old):
     key = jnp.where(valid, key, jnp.int32(PAD_KEY))
     qs = jnp.clip(jnp.round(sides * 256.0), 0, 65535).astype(jnp.uint32)
     plo = qs[:, 0] | (qs[:, 1] << 16)
-    phi = qs[:, 2] | (frames.astype(jnp.uint32) << 16)
+    phi = qs[:, 2] | ((frames.astype(jnp.uint32) & 0xFFFF) << 16)
     codes = jnp.where(valid, code, -1)
 
     all_key = jnp.concatenate([db.keys, key])

@@ -68,6 +68,11 @@ class EvalAccumulator:
                     ref :639-645).
         """
         self.total += 1
+        # Per-query time is recorded for every query (success or not) — the
+        # reference's per-frame timing printout does the same
+        # (semantic_graph_localization.cpp:771-777); error stats accumulate
+        # over successes only, matching its RMSE accounting.
+        self.times_ms.append(time_ms)
         t_err, r_err = rpe(gt_pose, est_pose)
         if (
             t_err < self.config.success_trans_m
@@ -76,7 +81,6 @@ class EvalAccumulator:
             self.succeeded += 1
             self.t_errors.append(t_err)
             self.r_errors.append(r_err)
-            self.times_ms.append(time_ms)
         if cand_poses is not None:
             for k in range(min(len(cand_poses), len(self.recall_at))):
                 te, _ = rpe(gt_pose, cand_poses[k])

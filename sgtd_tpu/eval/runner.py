@@ -25,7 +25,7 @@ from sgtd_tpu.db.device_build import build_database_on_device
 from sgtd_tpu.desc.triangles import build_descriptors
 from sgtd_tpu.eval.metrics import EvalAccumulator
 from sgtd_tpu.graph.types import SemanticGraph
-from sgtd_tpu.match.pipeline import localize
+from sgtd_tpu.match.pipeline import localize, localize_exact
 
 
 def stack_graphs(graphs: Sequence[SemanticGraph]) -> SemanticGraph:
@@ -113,6 +113,23 @@ def evaluate(
         batch = stack_graphs(chunk_p)
         t0 = time.time()
         res = jax.block_until_ready(loc_fn(index.db, batch))
+        # Capacity-cap fallback: a query whose probe scan overflowed
+        # max_scan_slots lost votes — rerun it through the uncapped exact
+        # path (one cached recompile per cap size). TRUNC_PAIRS alone is
+        # benign (votes exact; pair lists subsampled, as the reference's own
+        # skip_len sampling does, STDesc.cpp:467-468) and does not rerun.
+        from sgtd_tpu.match.search import TRUNC_SCAN
+
+        trunc = np.asarray(res.truncated) & TRUNC_SCAN
+        if np.any(trunc[: len(chunk)] != 0):
+            res_fields = {
+                f: np.array(getattr(res, f)) for f in res._fields
+            }
+            for k in np.nonzero(trunc[: len(chunk)])[0]:
+                ex = localize_exact(index.db, chunk[int(k)], cfg)
+                for f in res._fields:
+                    res_fields[f][int(k)] = np.asarray(getattr(ex, f))
+            res = type(res)(**res_fields)
         use_gicp = (
             cfg.gicp.enable
             and query_cloud_fn is not None

@@ -45,6 +45,10 @@ class LocalizationResult(NamedTuple):
                   (frame_pose[c] @ T_loop[c],
                   ref semantic_graph_localization.cpp:747 without GICP).
     num_descriptors: () int32.
+    truncated:    () int32 bitmask (search.TRUNC_SCAN | search.TRUNC_PAIRS):
+                  nonzero when a static capacity cap clipped this query's
+                  probe scan or pair lists — see
+                  :func:`localize_exact` for the uncapped fallback.
     """
 
     found: jnp.ndarray
@@ -57,6 +61,7 @@ class LocalizationResult(NamedTuple):
     trans: jnp.ndarray
     poses: jnp.ndarray
     num_descriptors: jnp.ndarray
+    truncated: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -103,6 +108,81 @@ def localize_descriptors(
         trans=trans,
         poses=poses,
         num_descriptors=query.count,
+        truncated=cand.truncated,
+    )
+
+
+def localize_exact(
+    db: DescriptorDB,
+    graph: SemanticGraph,
+    config: SGTDConfig = SGTDConfig(),
+) -> LocalizationResult:
+    """Uncapped fallback for queries flagged ``truncated`` by :func:`localize`.
+
+    Host-driven (not jittable as one program): first measures the query's
+    true ragged-scan total, then re-runs the pipeline with
+    ``caps.max_scan_slots`` raised to cover it exactly (one cached recompile
+    per distinct cap) and with candidate-major pair extraction
+    (``extract_pairs_by_frame`` — per-frame pair lists bounded only by
+    ``pairs_per_candidate``, the reference's own subsampling bound,
+    STDesc.cpp:467-468) instead of the per-descriptor ``hits_per_descriptor``
+    cap. No silent vote or pair loss remains.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from sgtd_tpu.match.search import (
+        build_probe_table,
+        extract_pairs_by_frame,
+        probe_and_hits,
+        probe_ranges,
+        select_candidates,
+    )
+    from sgtd_tpu.match.verify import verify_pairs
+
+    query = build_descriptors(graph, config.desc, config.caps)
+    s, e, ok = probe_ranges(db, query, config.desc)
+    total = int(np.asarray(jnp.sum(jnp.where(ok, e - s, 0))))
+    slots = 8192
+    while slots < total:
+        slots *= 2
+    caps = dataclasses.replace(config.caps, max_scan_slots=slots)
+    cfg = config.replace(caps=caps)
+
+    ph = probe_and_hits(db, query, cfg.desc, cfg.search, cfg.caps)
+    cand_votes, cand_frames, cand_valid = select_candidates(
+        ph.votes, cfg.search
+    )
+    pkeys, pdesc = build_probe_table(query, cfg.desc)
+    pair_qidx, pair_row, pair_valid = extract_pairs_by_frame(
+        db, query, pkeys, pdesc, cand_frames, cand_valid, cfg.search, cfg.caps
+    )
+    vq = query.vertices[pair_qidx]
+    vdb = db.vertices[pair_row]
+    ver = verify_pairs(vq, vdb, pair_valid, cand_valid, cfg.search)
+
+    order = jnp.argsort(-ver.scores, stable=True)
+    frames = cand_frames[order]
+    scores = ver.scores[order]
+    rot = ver.rot[order]
+    trans = ver.trans[order]
+    t_loop = se3.rt_to_mat(rot, trans)
+    poses = db.frame_poses[frames] @ t_loop
+    best_score = scores[0]
+    found = best_score > jnp.float32(cfg.search.icp_threshold)
+    return LocalizationResult(
+        found=found,
+        best_frame=jnp.where(found, frames[0], -1),
+        best_score=best_score,
+        frames=frames,
+        scores=scores,
+        votes=cand_votes[order],
+        rot=rot,
+        trans=trans,
+        poses=poses,
+        num_descriptors=query.count,
+        truncated=jnp.int32(0),
     )
 
 

@@ -54,6 +54,11 @@ class CandidateSet(NamedTuple):
     pair_qidx:  (C, P) int32 — query-descriptor index of each match pair.
     pair_row:   (C, P) int32 — DB row of each match pair.
     pair_valid: (C, P) bool.
+    truncated:  () int32 bitmask — TRUNC_SCAN: the ragged probe scan
+                overflowed caps.max_scan_slots (votes may be undercounted);
+                TRUNC_PAIRS: a descriptor's hit list saturated
+                hits_per_descriptor (votes exact, pair lists clipped).
+                0 = the query ran within every static cap.
     """
 
     frames: jnp.ndarray
@@ -62,6 +67,42 @@ class CandidateSet(NamedTuple):
     pair_qidx: jnp.ndarray
     pair_row: jnp.ndarray
     pair_valid: jnp.ndarray
+    truncated: jnp.ndarray
+
+
+# Truncation bitmask values (CandidateSet.truncated / LocalizationResult).
+TRUNC_SCAN = 1  # ragged scan overflowed max_scan_slots: votes may be lost
+TRUNC_PAIRS = 2  # hits_per_descriptor saturated: pair lists clipped
+
+
+class ProbeHits(NamedTuple):
+    """Stage-1 output of :func:`probe_and_hits`.
+
+    votes:     (F,) float32 per-frame vote tally (exact unless scan_overflow).
+    sel_row:   (D, U) int32 compacted DB row per kept hit.
+    sel_frame: (D, U) int32 frame of each kept hit (F = empty slot).
+    scan_overflow: () bool — probe total exceeded caps.max_scan_slots.
+    pair_overflow: () bool — some descriptor had > hits_per_descriptor hits.
+    """
+
+    votes: jnp.ndarray
+    sel_row: jnp.ndarray
+    sel_frame: jnp.ndarray
+    scan_overflow: jnp.ndarray
+    pair_overflow: jnp.ndarray
+
+
+def _frame_of_rows(db: DescriptorDB, rows: jnp.ndarray) -> jnp.ndarray:
+    """Owning keyframe of DB rows.
+
+    Fast path reads the frame id packed into the high 16 bits of packed_hi;
+    DBs beyond 65536 keyframes (frame ids unpackable — the reference's hard
+    MAX_FRAME_N=20000 ceiling, STDesc.h:33, lifted here) fall back to one
+    extra int32 gather from frame_ids. The choice is static (array shapes).
+    """
+    if db.frame_poses.shape[0] > 65536:
+        return db.frame_ids[rows]
+    return (db.packed_hi[rows] >> 16).astype(jnp.int32)
 
 
 def _bucket_lookup(
@@ -134,13 +175,14 @@ def probe_and_hits(
     search: SearchConfig,
     caps: CapacityConfig,
     row_offset: jnp.ndarray | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> ProbeHits:
     """Stage 1: bucket probes + rough filter on (a shard of) the DB.
 
-    Returns (votes (F,), sel_row (D, U), sel_frame (D, U)) where sel_frame
-    holds the frame id of each kept hit or F (sentinel) for empty slots.
-    The vote tally counts *all* hits (exact parity); sel_* is the compacted
-    per-descriptor hit list used only for verification pair lists.
+    Returns a :class:`ProbeHits`: votes (F,), sel_row (D, U), sel_frame
+    (D, U) — sel_frame holds the frame id of each kept hit or F (sentinel)
+    for empty slots — plus the two overflow flags. The vote tally counts
+    *all* hits (exact parity) unless ``scan_overflow``; sel_* is the
+    compacted per-descriptor hit list used only for verification pair lists.
 
     ``row_offset``: when the DB rows are a contiguous shard of a larger
     table, the global row index of this shard's first row — the (global)
@@ -196,7 +238,10 @@ def probe_and_hits(
 
     lo_w = db.packed_lo[row_c]  # (L,) uint32
     hi_w = db.packed_hi[row_c]
-    frame_of_hit = (hi_w >> 16).astype(jnp.int32)
+    if db.frame_poses.shape[0] > 65536:
+        frame_of_hit = db.frame_ids[row_c]  # wide-frame DB: extra gather
+    else:
+        frame_of_hit = (hi_w >> 16).astype(jnp.int32)
 
     # Rough side-length filter in the DB's own 1/256 fixed-point grid. The
     # query sides are quantised to the same grid (max perturbation 1/512 of
@@ -242,6 +287,7 @@ def probe_and_hits(
     before_desc = hcum_ext[jnp.clip(desc_first_slot, 0, l_max)]  # (D,)
     rank_in_desc = hcum - 1 - before_desc[desc]  # valid where hit
     keep = hit & (rank_in_desc < u)
+    pair_overflow = jnp.any(hit & (rank_in_desc >= u))
     sd = jnp.where(keep, desc, d_max)  # dump row for non-kept
     si = jnp.where(keep, rank_in_desc, 0)
     # One scatter carries everything: row+1 (0 = empty slot); the frame is
@@ -252,9 +298,15 @@ def probe_and_hits(
     sel_ok = sel > 0
     sel_row = jnp.maximum(sel - 1, 0)
     sel_frame = jnp.where(
-        sel_ok, (db.packed_hi[sel_row] >> 16).astype(jnp.int32), f_pad
+        sel_ok, _frame_of_rows(db, sel_row), f_pad
     )
-    return votes, sel_row, sel_frame
+    return ProbeHits(
+        votes=votes,
+        sel_row=sel_row,
+        sel_frame=sel_frame,
+        scan_overflow=total > l_max,
+        pair_overflow=pair_overflow,
+    )
 
 
 def select_candidates(
@@ -306,10 +358,15 @@ def candidate_search(
     search: SearchConfig = SearchConfig(),
     caps: CapacityConfig = CapacityConfig(),
 ) -> CandidateSet:
-    votes, sel_row, sel_frame = probe_and_hits(db, query, cfg, search, caps)
-    cand_votes, cand_frames, cand_valid = select_candidates(votes, search)
+    ph = probe_and_hits(db, query, cfg, search, caps)
+    cand_votes, cand_frames, cand_valid = select_candidates(ph.votes, search)
     pair_qidx, pair_row, pair_valid = extract_pairs(
-        sel_row, sel_frame, cand_frames, cand_valid, caps.pairs_per_candidate
+        ph.sel_row, ph.sel_frame, cand_frames, cand_valid,
+        caps.pairs_per_candidate,
+    )
+    truncated = (
+        ph.scan_overflow.astype(jnp.int32) * TRUNC_SCAN
+        + ph.pair_overflow.astype(jnp.int32) * TRUNC_PAIRS
     )
     return CandidateSet(
         frames=cand_frames,
@@ -318,6 +375,7 @@ def candidate_search(
         pair_qidx=pair_qidx,
         pair_row=pair_row,
         pair_valid=pair_valid,
+        truncated=truncated,
     )
 
 

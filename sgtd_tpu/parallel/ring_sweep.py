@@ -71,7 +71,7 @@ def _localize_ring(db_local: DescriptorDB, graphs: SemanticGraph, config: SGTDCo
         query = build_descriptors(graph, config.desc, caps)
 
         def ring_step(s, state):
-            block, votes, bank_frame, bank_verts = state
+            block, votes, bank_frame, bank_verts, truncated = state
             # Which global block does this device hold at step s? Blocks
             # travel towards d+1, so d receives from d-1: b = (d - s) mod n.
             b = jnp.mod(my - s, n_dev)
@@ -83,11 +83,16 @@ def _localize_ring(db_local: DescriptorDB, graphs: SemanticGraph, config: SGTDCo
                 vertices=block.vertices,
                 frame_ids=block.frame_ids,
             )
-            v, sel_row, sel_frame = probe_and_hits(
+            ph = probe_and_hits(
                 sub_db, query, config.desc, config.search, caps,
                 row_offset=b * m_block,
             )
-            votes = votes + v
+            sel_row, sel_frame = ph.sel_row, ph.sel_frame
+            votes = votes + ph.votes
+            trunc = (
+                ph.scan_overflow.astype(jnp.int32) * 1
+                + ph.pair_overflow.astype(jnp.int32) * 2
+            )
             bank_frame = jax.lax.dynamic_update_slice(
                 bank_frame, sel_frame[None], (s, 0, 0)
             )
@@ -97,14 +102,15 @@ def _localize_ring(db_local: DescriptorDB, graphs: SemanticGraph, config: SGTDCo
             block = _RingBlock(
                 *(jax.lax.ppermute(x, "dp", perm) for x in block)
             )
-            return block, votes, bank_frame, bank_verts
+            return block, votes, bank_frame, bank_verts, truncated | trunc
 
         f_pad = db_local.frame_poses.shape[0]
         votes0 = jnp.zeros((f_pad,), jnp.float32)
         bank_frame0 = jnp.full((n_dev, d_max, u), f_pad, jnp.int32)
         bank_verts0 = jnp.zeros((n_dev, d_max, u, 3, 3), jnp.float32)
-        _, votes, bank_frame, bank_verts = jax.lax.fori_loop(
-            0, n_dev, ring_step, (block0, votes0, bank_frame0, bank_verts0)
+        _, votes, bank_frame, bank_verts, truncated = jax.lax.fori_loop(
+            0, n_dev, ring_step,
+            (block0, votes0, bank_frame0, bank_verts0, jnp.int32(0)),
         )
 
         cand_votes, cand_frames, cand_valid = select_candidates(
@@ -145,6 +151,7 @@ def _localize_ring(db_local: DescriptorDB, graphs: SemanticGraph, config: SGTDCo
             trans=ver.trans[order],
             poses=poses,
             num_descriptors=query.count,
+            truncated=truncated,
         )
 
     return jax.vmap(one_query)(graphs)
@@ -181,7 +188,7 @@ def make_ring_localizer(mesh: Mesh, config: SGTDConfig = SGTDConfig()):
         pose=P("dp", None, None),
     )
     out_specs = jax.tree_util.tree_map(
-        lambda _: P("dp"), LocalizationResult(*range(10))
+        lambda _: P("dp"), LocalizationResult(*range(len(LocalizationResult._fields)))
     )
     fn = shard_map(
         functools.partial(_localize_ring, config=config),

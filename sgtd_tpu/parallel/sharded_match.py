@@ -57,11 +57,17 @@ def _localize_one_sharded(db_local: DescriptorDB, query: Descriptors, config: SG
     # range.
     m_local = db_local.keys.shape[0]
     offset = jax.lax.axis_index("db").astype(jnp.int32) * m_local
-    votes_l, sel_row, sel_frame = probe_and_hits(
+    ph = probe_and_hits(
         db_local, query, config.desc, config.search, config.caps,
         row_offset=offset,
     )
-    votes = jax.lax.psum(votes_l, "db")
+    sel_row, sel_frame = ph.sel_row, ph.sel_frame
+    votes = jax.lax.psum(ph.votes, "db")
+    truncated = jax.lax.pmax(
+        ph.scan_overflow.astype(jnp.int32) * 1
+        + ph.pair_overflow.astype(jnp.int32) * 2,
+        "db",
+    )
     cand_votes, cand_frames, cand_valid = select_candidates(votes, config.search)
     pq, pr, pv = extract_pairs(sel_row, sel_frame, cand_frames, cand_valid, p_local)
 
@@ -94,6 +100,7 @@ def _localize_one_sharded(db_local: DescriptorDB, query: Descriptors, config: SG
         trans=ver.trans[order],
         poses=poses,
         num_descriptors=query.count,
+        truncated=truncated,
     )
 
 
@@ -136,7 +143,7 @@ def make_sharded_localizer(mesh: Mesh, config: SGTDConfig = SGTDConfig()):
         return jax.vmap(one)(graphs)
 
     out_specs = jax.tree_util.tree_map(
-        lambda _: P("dp"), LocalizationResult(*range(10))
+        lambda _: P("dp"), LocalizationResult(*range(len(LocalizationResult._fields)))
     )
     fn = shard_map(
         _batch,

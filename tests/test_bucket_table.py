@@ -74,8 +74,8 @@ def test_probe_parity_table_vs_bisection(setup):
     cfg, db, _, queries = setup
     db_nt = _without_table(db)
     for q in queries:
-        v1, r1, f1 = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)
-        v2, r2, f2 = probe_and_hits(db_nt, q, cfg.desc, cfg.search, cfg.caps)
+        v1, r1, f1 = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)[:3]
+        v2, r2, f2 = probe_and_hits(db_nt, q, cfg.desc, cfg.search, cfg.caps)[:3]
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
@@ -132,8 +132,8 @@ def test_device_build_matches_host_table(setup):
     )[1]
     for g in q_graphs[:3]:
         q = build_descriptors(g, cfg.desc, cfg.caps)
-        v1, _, f1 = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)
-        v2, _, f2 = probe_and_hits(ddb, q, cfg.desc, cfg.search, cfg.caps)
+        v1, _, f1 = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)[:3]
+        v2, _, f2 = probe_and_hits(ddb, q, cfg.desc, cfg.search, cfg.caps)[:3]
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 

@@ -166,7 +166,7 @@ def test_vote_and_candidate_parity(seed):
     votes_o, candidates_o = mgr.candidate_selector(qstds)
     votes_j, sel_row, sel_frame = probe_and_hits(
         db, q, CFG.desc, CFG.search, CFG.caps
-    )
+    )[:3]
     votes_j = np.asarray(votes_j)
     n_frames = len(scene[0])
     for f in range(n_frames):

@@ -1,0 +1,124 @@
+"""Query-time capacity-cap truncation: surfaced, never silent (VERDICT r1 #8).
+
+The ragged probe scan pads to caps.max_scan_slots and pair lists cap at
+hits_per_descriptor per query descriptor. A pathological scene (repetitive
+structure -> deep buckets) must set the ``truncated`` flag, and the exact
+fallback path must recover the full vote tally and candidate set.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgtd_tpu.config import CapacityConfig, SGTDConfig
+from sgtd_tpu.data.synthetic import make_map_and_queries
+from sgtd_tpu.db.database import build_database, tuned_config
+from sgtd_tpu.desc.triangles import build_descriptors
+from sgtd_tpu.match.pipeline import localize, localize_exact
+from sgtd_tpu.match.search import (
+    TRUNC_PAIRS,
+    TRUNC_SCAN,
+    candidate_search,
+    probe_and_hits,
+)
+
+
+@pytest.fixture(scope="module")
+def world(small_config):
+    cfg = small_config
+    map_graphs, query_graphs, _ = make_map_and_queries(
+        cfg, seed=13, num_map_frames=24, num_queries=4,
+        center_noise_m=0.05, dropout=0.1, label_corrupt_rate=0.05,
+    )
+    descs = [build_descriptors(g, cfg.desc, cfg.caps) for g in map_graphs]
+    db, report = build_database(
+        descs, [np.asarray(g.pose) for g in map_graphs], cfg.desc, cfg.caps
+    )
+    cfg = tuned_config(cfg, report)
+    return cfg, db, query_graphs
+
+
+def _tiny_caps(cfg: SGTDConfig, **kw) -> SGTDConfig:
+    return cfg.replace(caps=dataclasses.replace(cfg.caps, **kw))
+
+
+def test_untruncated_query_reports_zero(world):
+    cfg, db, queries = world
+    res = localize(db, queries[0], cfg)
+    assert int(res.truncated) == 0
+
+
+def test_scan_overflow_flagged_and_fallback_recovers_votes(world):
+    cfg, db, queries = world
+    g = queries[0]
+
+    # Reference votes with an ample cap.
+    q = build_descriptors(g, cfg.desc, cfg.caps)
+    full = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)
+    assert not bool(full.scan_overflow)
+    total = int(np.asarray(jnp.sum(full.votes)))
+    assert total > 0
+
+    # Starve the scan: flag must be set and votes undercounted.
+    small = _tiny_caps(cfg, max_scan_slots=32)
+    starved = probe_and_hits(db, q, small.desc, small.search, small.caps)
+    assert bool(starved.scan_overflow)
+    assert int(np.asarray(jnp.sum(starved.votes))) < total
+
+    cand = candidate_search(db, q, small.desc, small.search, small.caps)
+    assert int(cand.truncated) & TRUNC_SCAN
+
+    # The exact fallback recomputes with a fitted cap: votes identical to
+    # the ample-cap run, flag cleared.
+    res_small = localize(db, g, small)
+    assert int(res_small.truncated) & TRUNC_SCAN
+    res_exact = localize_exact(db, g, small)
+    assert int(res_exact.truncated) == 0
+    res_full = localize(db, g, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(res_exact.frames), np.asarray(res_full.frames)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_exact.votes), np.asarray(res_full.votes)
+    )
+    assert bool(res_exact.found)
+    np.testing.assert_allclose(
+        np.asarray(res_exact.poses[0]), np.asarray(res_full.poses[0]), atol=2.0
+    )
+
+
+def test_pair_saturation_flagged(world):
+    cfg, db, queries = world
+    g = queries[1]
+    q = build_descriptors(g, cfg.desc, cfg.caps)
+    small = _tiny_caps(cfg, hits_per_descriptor=1)
+    ph = probe_and_hits(db, q, small.desc, small.search, small.caps)
+    if not bool(ph.pair_overflow):
+        pytest.skip("scene produced <=1 hit per descriptor")
+    cand = candidate_search(db, q, small.desc, small.search, small.caps)
+    assert int(cand.truncated) & TRUNC_PAIRS
+    # Votes stay exact under pair saturation.
+    full = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)
+    np.testing.assert_array_equal(np.asarray(ph.votes), np.asarray(full.votes))
+
+
+def test_runner_fallback_on_truncated_queries(world):
+    from sgtd_tpu.db.database import DBBuildReport
+    from sgtd_tpu.eval import runner
+
+    cfg, db, queries = world
+    small = _tiny_caps(cfg, max_scan_slots=32)
+    index = runner.MapIndex(
+        db=db, config=small, build_seconds=0.0,
+        report=DBBuildReport(
+            num_rows=int(np.sum(np.asarray(db.keys) != 2**31 - 1)),
+            num_frames=int(np.sum(np.asarray(db.frame_valid))),
+            num_cells=1, max_bucket=1, rows_beyond_cap=0,
+        ),
+    )
+    out = runner.evaluate(index, queries, batch_size=2)
+    # The starved cap alone would lose votes; the fallback restores accuracy.
+    assert out["success_rate"] == 1.0, out
