@@ -174,7 +174,14 @@ def main():
         file=sys.stderr,
     )
     if sr < 0.9:
-        print(f"[bench] WARNING: success rate {sr} below gate", file=sys.stderr)
+        # Hard gate: a throughput number with broken accuracy is invalid.
+        # Emit no metric line and exit nonzero so the driver records failure.
+        print(
+            f"[bench] FAIL: success rate {sr:.3f} below 0.9 gate — "
+            "throughput metric withheld",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     baseline_scans_per_sec = 1000.0 / 69.0  # reference KAIST03 69 ms/query
     print(
