@@ -24,15 +24,32 @@ os.environ.setdefault(
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(label, fn, *args, reps=3, **kw):
+def _first_leaf(out):
     import jax
 
-    out = jax.block_until_ready(fn(*args, **kw))  # compile
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+    return jax.tree_util.tree_leaves(out)[0]
+
+
+def timed(label, fn, *args, **kw):
+    """Relay-safe timing: block_until_ready does not reliably block on the
+    axon relay backend, so completion is forced by fetching a leaf of the
+    LAST output (the device queue is sequential). Fixed relay overhead is
+    cancelled by differencing two pipelined rep counts."""
+    out = fn(*args, **kw)
+    np.asarray(_first_leaf(out))  # compile + settle
+
+    def run(reps):
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = fn(*args, **kw)
+        np.asarray(_first_leaf(out))
+        return time.time() - t0
+
+    run(2)  # warm the dispatch path
+    lo, hi = 4, 12
+    t_lo, t_hi = run(lo), run(hi)
+    dt = (t_hi - t_lo) / (hi - lo)
     print(f"[prof] {label}: {dt*1000:.2f} ms", file=sys.stderr)
     return out, dt
 
@@ -119,6 +136,18 @@ def main():
         )
     rrj = jax.jit(jax.vmap(rr, in_axes=(0, 0, 0, 0)))
     _, dt = timed("gicp_rerank (16q, K=4)", rrj, c0, m0, frames_k, inits)
+    print(f"[prof]   = {dt*1000/chunk:.2f} ms/query", file=sys.stderr)
+
+    # 3b. VGICP rerank (no per-iteration NN search).
+    from sgtd_tpu.refine.vgicp import vgicp_rerank
+
+    def vr(qcld, qmask, fk, init):
+        return vgicp_rerank(
+            qcld, qmask, map_clouds[fk], map_masks[fk], init, cfg.gicp,
+            tgt_covs=map_covs[fk],
+        )
+    vrj = jax.jit(jax.vmap(vr, in_axes=(0, 0, 0, 0)))
+    _, dt = timed("vgicp_rerank (16q, K=4)", vrj, c0, m0, frames_k, inits)
     print(f"[prof]   = {dt*1000/chunk:.2f} ms/query", file=sys.stderr)
 
     # 4. Full fused program.
