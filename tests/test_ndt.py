@@ -26,7 +26,11 @@ def _scene(rng, n=2048):
     return np.concatenate([ground] + walls).astype(np.float32)
 
 
-def test_ndt_map_build(rng):
+def test_ndt_map_build():
+    # Local deterministic rng: the session-scoped fixture's state depends on
+    # test order, and the recovery tolerance below sits near NDT's
+    # voxel-discretization floor — order-dependent scenes made it flaky.
+    rng = np.random.default_rng(7)
     pts = _scene(rng)
     m = build_ndt_map(jnp.asarray(pts), jnp.asarray(np.ones(len(pts), bool)),
                       voxel_size=2.0, max_voxels=4096)
@@ -36,7 +40,8 @@ def test_ndt_map_build(rng):
     assert np.all(np.diff(keys.astype(np.int64)) >= 0)
 
 
-def test_ndt_recovers_offset(rng):
+def test_ndt_recovers_offset():
+    rng = np.random.default_rng(7)  # see test_ndt_map_build
     tgt = _scene(rng)
     mask = jnp.asarray(np.ones(len(tgt), bool))
     ndt = build_ndt_map(jnp.asarray(tgt), mask, voxel_size=2.0, max_voxels=4096)
