@@ -1,0 +1,109 @@
+"""Micro-profile of the rerank path: kNN, eig, GN loop, VGICP variants."""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+from sgtd_tpu.config import GicpConfig
+from sgtd_tpu.ops.linalg3 import sym_eig3x3
+from sgtd_tpu.refine.gicp import knn_indices, point_covariances, gicp_rerank
+from sgtd_tpu.refine.vgicp import build_voxel_map, vgicp_align, point_covariances as _pc
+
+
+def timed(label, fn, *args, reps=5, jig=0):
+    """jig: index of the float arg to perturb per rep (defeats relay dedup)."""
+    def var(i):
+        a = list(args)
+        a[jig] = a[jig] + jnp.float32(i * 1e-9)
+        return tuple(a)
+    out = jax.block_until_ready(fn(*var(0)))
+    t0 = time.time()
+    for i in range(reps):
+        out = fn(*var(i))
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps * 1000
+    print(f"[prof] {label:46s} {dt:8.2f} ms/dispatch ({dt/16:6.2f} ms/query)")
+    return out
+
+
+def main():
+    cfg = GicpConfig()
+    print(f"[prof] gicp cfg: k={cfg.num_neighbors} iters={cfg.max_iterations} "
+          f"opt={cfg.optimizer} engine={cfg.engine}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    B, N, K = 16, 4096, 4
+    clouds = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 30)
+    masks = jnp.ones((B, N), bool)
+    tgts = jnp.asarray(rng.normal(size=(B, K, N, 3)).astype(np.float32) * 30)
+    tmasks = jnp.ones((B, K, N), bool)
+    inits = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, K, 4, 4))
+
+    # 1. kNN alone under vmap(16)
+    knn = jax.jit(jax.vmap(lambda p, m: knn_indices(p, m, cfg.num_neighbors)))
+    timed("knn_indices k=20 (16x4096)", knn, clouds, masks)
+
+    # 2. eig alone: random SPD 3x3, 16x4096
+    A = rng.normal(size=(B, N, 3, 3)).astype(np.float32)
+    spd = jnp.asarray(A @ A.transpose(0, 1, 3, 2) + np.eye(3, dtype=np.float32))
+    eig = jax.jit(jax.vmap(sym_eig3x3))
+    timed("sym_eig3x3 (16x4096)", eig, spd)
+
+    # 3. full point_covariances
+    pc = jax.jit(jax.vmap(functools.partial(point_covariances, cfg=cfg)))
+    covs = timed("point_covariances (16x4096)", pc, clouds, masks)
+
+    # 4. gicp_rerank with precomputed tgt covs
+    tcovs = jax.jit(jax.vmap(jax.vmap(
+        lambda t, m: point_covariances(t, m, cfg))))(tgts, tmasks)
+    def rr_one(a, b, c, d, e, f):
+        return gicp_rerank(a, b, c, d, e, cfg, tgt_covs=f)
+    rr = jax.jit(jax.vmap(rr_one))
+    timed("gicp_rerank (4 cands, 10 it)", rr, clouds, masks, tgts, tmasks,
+          inits, tcovs)
+
+    # 5. vgicp with per-call voxel build (current pipeline shape)
+    def vg_one(s, sm, t, tm, T0, tc, sc):
+        def per_cand(tt, ttm, TT, tcc):
+            return vgicp_align(s, sm, tt, ttm, TT, cfg, src_cov=sc, tgt_cov=tcc)
+        return jax.vmap(per_cand)(t, tm, T0, tc)
+    vg = jax.jit(jax.vmap(vg_one))
+    timed("vgicp_rerank (build vm per call)", vg, clouds, masks, tgts, tmasks,
+          inits, tcovs, covs)
+
+    # 6. vgicp with PREBUILT voxel maps
+    bvm = jax.jit(jax.vmap(jax.vmap(
+        lambda t, m, c: build_voxel_map(t, m, c, cfg.voxel_resolution,
+                                        mode=cfg.voxel_mode))))
+    vms = bvm(tgts, tmasks, tcovs)
+    def vg2_one(s, sm, vm, T0, sc):
+        def per_cand(vmc, TT):
+            return vgicp_align(s, sm, s, sm, TT, cfg, src_cov=sc,
+                               voxel_map=vmc)
+        return jax.vmap(per_cand)(vm, T0)
+    vg2 = jax.jit(jax.vmap(vg2_one))
+    timed("vgicp_rerank (prebuilt vm)", vg2, clouds, masks, vms, inits, covs)
+
+    # 7. vgicp prebuilt + NO src covs in timing (precomputed)
+    def vg3_one(s, sm, vm, T0, sc):
+        def per_cand(vmc, TT):
+            return vgicp_align(s, sm, s, sm, TT, cfg, src_cov=sc,
+                               voxel_map=vmc)
+        return jax.vmap(per_cand)(vm, T0)
+    # same as 6 but with covs passed in — already the case; instead time the
+    # pure align loop given covs (6 == 7). Skip.
+
+
+if __name__ == "__main__":
+    main()
