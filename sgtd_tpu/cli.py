@@ -152,8 +152,16 @@ def _cmd_localize(args):
                 f"{len(map_graphs)} graphs"
             )
 
+        # Query scans stream through the native prefetching loader (C++
+        # background threads, sgtd_tpu/native/loader.cpp) so disk reads
+        # overlap device compute; map scans are loaded once each and cached
+        # by the runner (pose-independent map data).
+        from sgtd_tpu.native import PrefetchingLoader
+
+        q_loader = PrefetchingLoader(q_bins)
+
         def query_cloud_fn(i):
-            pts = readers.read_bin(q_bins[i])[:, :3]
+            pts = q_loader.get(i)[0]
             return load_query_cloud(pts, cfg.gicp.leaf_size, cfg.gicp.max_points)
 
         def map_cloud_fn(fid):

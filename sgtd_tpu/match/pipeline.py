@@ -220,9 +220,10 @@ def localize_refined(
     query_mask: jnp.ndarray,
     map_clouds: jnp.ndarray,
     map_masks: jnp.ndarray,
-    map_covs: jnp.ndarray,
+    map_covs: jnp.ndarray | None = None,
     config: SGTDConfig = SGTDConfig(),
     rerank_k: int = 4,
+    map_vmaps=None,
 ) -> RefinedResult:
     """One-shot localization INCLUDING multi-candidate GICP rerank, as one
     XLA program — the analog of the reference's full headline configuration
@@ -236,21 +237,32 @@ def localize_refined(
 
     map_clouds (F, P, 3) / map_masks (F, P) / map_covs (F, P, 3, 3) are the
     per-keyframe clouds + precomputed GICP covariances pinned on device.
+    ``map_vmaps``: prebuilt per-keyframe Gaussian voxel maps
+    (refine.vgicp.build_voxel_maps, leading F axis) — with
+    ``engine == "vgicp"`` the rerank then needs no per-query voxel-map
+    build and no map_covs (pass None): pure gathers into the voxel tables.
     """
     from sgtd_tpu.refine.gicp import gicp_rerank
     from sgtd_tpu.refine.vgicp import vgicp_rerank
 
     res = localize(db, graph, config)
     frames_k = res.frames[:rerank_k]  # (K,) score-sorted
-    tgts = map_clouds[frames_k]
-    tmasks = map_masks[frames_k]
-    tcovs = map_covs[frames_k]
     inits = se3.rt_to_mat(res.rot[:rerank_k], res.trans[:rerank_k])
-    rerank = vgicp_rerank if config.gicp.engine == "vgicp" else gicp_rerank
-    out = rerank(
-        query_cloud, query_mask, tgts, tmasks, inits, config.gicp,
-        tgt_covs=tcovs,
-    )
+    if config.gicp.engine == "vgicp" and map_vmaps is not None:
+        vm_k = jax.tree_util.tree_map(lambda x: x[frames_k], map_vmaps)
+        out = vgicp_rerank(
+            query_cloud, query_mask, query_cloud, query_mask, inits,
+            config.gicp, voxel_maps=vm_k,
+        )
+    else:
+        tgts = map_clouds[frames_k]
+        tmasks = map_masks[frames_k]
+        tcovs = None if map_covs is None else map_covs[frames_k]
+        rerank = vgicp_rerank if config.gicp.engine == "vgicp" else gicp_rerank
+        out = rerank(
+            query_cloud, query_mask, tgts, tmasks, inits, config.gicp,
+            tgt_covs=tcovs,
+        )
     good = out.fitness < jnp.float32(config.gicp.best_fitness)
     pick = jnp.where(jnp.any(good), jnp.argmax(good), jnp.argmin(out.fitness))
     refined_pose = db.frame_poses[frames_k[pick]] @ out.transform[pick]

@@ -282,6 +282,29 @@ def vgicp_align(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def build_voxel_maps(
+    clouds: jnp.ndarray,
+    masks: jnp.ndarray,
+    covs: jnp.ndarray,
+    cfg: GicpConfig = GicpConfig(),
+) -> GaussianVoxelMap:
+    """Per-keyframe Gaussian voxel maps, stacked on a leading F axis.
+
+    Map keyframe clouds are fixed, so their voxel maps are pose-independent
+    map-build artifacts (like the per-point covariances): built once at map
+    load, pinned on device, gathered per candidate at query time. This
+    removes the per-query per-candidate sort + segment-sums that otherwise
+    dominate the VGICP rerank (the reference builds its target voxel map
+    once per setInputTarget too, fast_vgicp_impl.hpp:60-72).
+    """
+    return jax.vmap(
+        lambda c, m, cv: build_voxel_map(
+            c, m, cv, cfg.voxel_resolution, mode=cfg.voxel_mode
+        )
+    )(clouds, masks, covs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def vgicp_rerank(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -290,13 +313,30 @@ def vgicp_rerank(
     init_transforms: jnp.ndarray,
     cfg: GicpConfig = GicpConfig(),
     tgt_covs: jnp.ndarray | None = None,
+    voxel_maps: GaussianVoxelMap | None = None,
+    src_cov: jnp.ndarray | None = None,
 ) -> VgicpResult:
     """Multi-candidate VGICP rerank — drop-in for gicp_rerank
     (ref candidate loop, semantic_graph_localization.cpp:672-722), batched
-    over K candidate keyframes. Source covariances are shared; voxel maps
+    over K candidate keyframes. Source covariances are shared.
+
+    ``voxel_maps``: prebuilt per-candidate Gaussian voxel maps (leading K
+    axis, from :func:`build_voxel_maps` gathered by candidate frame) — the
+    fast path: no per-query voxel-map construction at all. Without it, maps
     build per candidate on device (one sort + segment-sums each).
     """
-    src_cov = point_covariances(src, src_mask, cfg)
+    if src_cov is None:
+        src_cov = point_covariances(src, src_mask, cfg)
+
+    if voxel_maps is not None:
+        def one_vm(vm, T0):
+            return vgicp_align(
+                src, src_mask, src, src_mask, T0, cfg,
+                src_cov=src_cov, voxel_map=vm,
+            )
+
+        return jax.vmap(one_vm)(voxel_maps, init_transforms)
+
     if tgt_covs is None:
         tgt_covs = jax.vmap(
             lambda t, m: point_covariances(t, m, cfg)

@@ -273,6 +273,142 @@ def test_verify_parity_zero_noise():
     np.testing.assert_allclose(np.asarray(res.trans[0]), t_o, atol=1e-2)
 
 
+# ---------------------------------------- exact-fallback pair path (r3 #8)
+
+
+@pytest.mark.parametrize("seed", range(0, N_SCENES, 2))
+def test_pairs_by_frame_oracle_parity(seed):
+    """extract_pairs_by_frame (the exact fallback's candidate-major pair
+    pass) yields exactly the oracle's match-pair SETS per candidate."""
+    from sgtd_tpu.match.search import build_probe_table, extract_pairs_by_frame
+
+    scene = _scene(seed)
+    mgr, _, qstds = _oracle_world(scene, CFG, fixed_point=True)
+    db, _, _, q = _jax_world(scene, CFG)
+    _, candidates_o = mgr.candidate_selector(qstds)
+
+    cand = candidate_search(db, q, CFG.desc, CFG.search, CFG.caps)
+    pkeys, pdesc = build_probe_table(q, CFG.desc)
+    pq, pr, pv = extract_pairs_by_frame(
+        db, q, pkeys, pdesc, cand.frames, cand.valid, CFG.search, CFG.caps
+    )
+    pq, pr, pv = map(np.asarray, (pq, pr, pv))
+    frames_j = np.asarray(cand.frames)
+    db_frames = np.asarray(db.frame_ids)
+    db_verts = np.asarray(db.vertices)
+    assert len(candidates_o) > 0
+    for k, (fid, vote, match_list) in enumerate(candidates_o):
+        assert frames_j[k] == fid
+        # Set comparison keyed on (query idx, mm-quantised DB vertex triple):
+        # rows are an implementation detail; the oracle stores entries.
+        got = set()
+        for a, r in zip(pq[k][pv[k]], pr[k][pv[k]]):
+            assert db_frames[r] == fid
+            got.add((int(a), tuple(np.round(db_verts[r].ravel() * 1000).astype(int))))
+        want = {
+            (int(qi), tuple(np.round(
+                np.stack([e.A, e.B, e.C]).ravel() * 1000).astype(int)))
+            for qi, e in match_list
+        }
+        assert got == want, (seed, k, len(got), len(want))
+
+
+# ------------------------------- truncation-active / near_num!=10 coverage
+
+
+def test_descriptor_truncation_parity():
+    """With caps.max_descriptors BINDING, the kept set must be exactly the
+    oracle's first d_max descriptors (insertion order = the reference's
+    feat_map semantics), and the whole pipeline must agree with an oracle
+    fed the same truncated lists (VERDICT r2 weak #5: the suite previously
+    asserted truncation NEVER fires rather than testing it)."""
+    d_max = 128
+    cfg = CFG.replace(caps=dataclasses.replace(CFG.caps, max_descriptors=d_max))
+    scene = _scene(3)
+    frames, (qpts, qlabels), _ = scene
+
+    # Oracle descriptors, truncated to the same cap.
+    mgr = OracleManager(cfg.desc, cfg.search, dtype=np.float32,
+                        fixed_point_filter=True)
+    per_frame_o = []
+    for pts, labels in frames:
+        stds = mgr.build(pts, labels)[:d_max]
+        mgr.add_stds(stds)
+        per_frame_o.append(stds)
+    qstds = mgr.build(qpts, qlabels)
+    assert len(qstds) > d_max  # truncation IS active on the query
+    qstds_t = qstds[:d_max]
+    # Oracle's frame counter advanced per add_stds; reuse its search.
+    votes_o, candidates_o = mgr.candidate_selector(qstds_t)
+
+    # JAX pipeline under the same cap.
+    descs = [_jax_descs(p, l, cfg) for p, l in frames]
+    for d, stds in zip(descs, per_frame_o):
+        m = np.asarray(d.mask)
+        assert int(m.sum()) == len(stds)
+        np.testing.assert_array_equal(
+            _q1000(np.asarray(d.sides)[m]),
+            _q1000(np.stack([o.side_length for o in stds])),
+        )
+    db, _ = build_database(
+        descs, [np.eye(4)] * len(frames), cfg.desc, cfg.caps
+    )
+    q = _jax_descs(qpts, qlabels, cfg)
+    votes_j, _, _ = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)[:3]
+    votes_j = np.asarray(votes_j)
+    for f in range(len(frames)):
+        assert votes_j[f] == votes_o.get(f, 0), (f, votes_j[f], votes_o.get(f, 0))
+
+    cand = candidate_search(db, q, cfg.desc, cfg.search, cfg.caps)
+    assert int(np.asarray(cand.valid).sum()) == len(candidates_o)
+    for k, (fid, vote, _) in enumerate(candidates_o):
+        assert np.asarray(cand.frames)[k] == fid
+        assert np.asarray(cand.votes)[k] == vote
+
+
+@pytest.mark.parametrize("near", [5, 15])
+def test_near_num_parity(near):
+    """Full vote/candidate/verify parity at near_num != 10 (VERDICT r2 weak
+    #5: drift in the kNN-neighbourhood enumeration outside the canonical
+    configuration was untested)."""
+    cfg = CFG.replace(
+        desc=dataclasses.replace(CFG.desc, near_num=near),
+        # near_num=15 enumerates ~2x the triangles: widen the static caps so
+        # no capacity truncation hides behind the parity being tested.
+        caps=dataclasses.replace(
+            CFG.caps, max_descriptors=4096, max_scan_slots=262144,
+            hits_per_descriptor=128, pairs_per_candidate=4096,
+        ),
+    )
+    scene = _scene(5)
+    mgr, _, qstds = _oracle_world(scene, cfg, fixed_point=True)
+    db, report, _, q = _jax_world(scene, cfg)
+    assert report.rows_beyond_cap == 0
+    assert int(np.asarray(q.mask).sum()) < cfg.caps.max_descriptors
+    ph = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)
+    assert not bool(ph.scan_overflow)
+
+    votes_o, candidates_o = mgr.candidate_selector(qstds)
+    votes_j = np.asarray(
+        probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)[0]
+    )
+    for f in range(len(scene[0])):
+        assert votes_j[f] == votes_o.get(f, 0), (near, f)
+
+    cand = candidate_search(db, q, cfg.desc, cfg.search, cfg.caps)
+    ver = verify_candidates(db, q, cand, cfg.search)
+    best_f, best_s, _, results_o = mgr.search_loop(qstds)
+    assert int(np.asarray(cand.valid).sum()) == len(candidates_o)
+    for k, (fid, vote, score_o, _, _, inl_o) in enumerate(results_o):
+        assert np.asarray(cand.frames)[k] == fid
+        assert np.asarray(ver.scores)[k] == score_o, (near, k)
+    res = localize_descriptors(db, q, cfg)
+    assert bool(res.found) == (best_f >= 0)
+    if best_f >= 0:
+        assert int(res.best_frame) == best_f
+        assert float(res.best_score) == best_s
+
+
 # ------------------------------------------------- deviation-impact bounds
 
 

@@ -90,6 +90,114 @@ def test_scan_overflow_flagged_and_fallback_recovers_votes(world):
     )
 
 
+def test_exact_fallback_verify_semantics_match(world):
+    """VERDICT r2 #8: the exact fallback must match the uncapped pipeline in
+    SEMANTICS, not just pose-to-2-metres: same candidate pair SETS, and —
+    verified on a canonically sorted pair order so hypothesis sampling is
+    order-independent — identical verify scores and inlier sets."""
+    from sgtd_tpu.match.search import (
+        build_probe_table,
+        extract_pairs_by_frame,
+        probe_ranges,
+    )
+    from sgtd_tpu.match.verify import verify_pairs
+
+    cfg, db, queries = world
+    g = queries[0]
+    q = build_descriptors(g, cfg.desc, cfg.caps)
+
+    # Path A: the standard per-descriptor-capped extraction (uncapped in
+    # effect: ample caps, no truncation on this scene).
+    cand = candidate_search(db, q, cfg.desc, cfg.search, cfg.caps)
+    assert int(cand.truncated) == 0
+
+    # Path B: the exact fallback's candidate-major extraction.
+    pkeys, pdesc = build_probe_table(q, cfg.desc)
+    pb_qidx, pb_row, pb_valid = extract_pairs_by_frame(
+        db, q, pkeys, pdesc, cand.frames, cand.valid, cfg.search, cfg.caps
+    )
+
+    def pair_sets(qidx, row, valid):
+        out = []
+        qidx, row, valid = map(np.asarray, (qidx, row, valid))
+        for c in range(qidx.shape[0]):
+            out.append(
+                {(int(a), int(b))
+                 for a, b in zip(qidx[c][valid[c]], row[c][valid[c]])}
+            )
+        return out
+
+    sets_a = pair_sets(cand.pair_qidx, cand.pair_row, cand.pair_valid)
+    sets_b = pair_sets(pb_qidx, pb_row, pb_valid)
+    eq_ok = np.zeros(len(sets_a), bool)
+    for c in range(len(sets_a)):
+        if not bool(np.asarray(cand.valid)[c]):
+            continue
+        # Caps must not have clipped either side for a set comparison
+        # (path A caps per descriptor, path B per candidate — where either
+        # cap binds the retained SUBSETS legitimately differ).
+        if (len(sets_a[c]) >= cfg.caps.pairs_per_candidate
+                or len(sets_b[c]) >= cfg.caps.pairs_per_candidate):
+            continue
+        assert sets_a[c] == sets_b[c], f"candidate {c} pair sets differ"
+        eq_ok[c] = True
+    assert eq_ok.sum() > 0
+
+    # Canonically sorted pair lists -> verification must agree exactly.
+    def canon(qidx, row, valid):
+        qidx, row, valid = map(np.asarray, (qidx, row, valid))
+        c_n, p_n = qidx.shape
+        oq = np.zeros_like(qidx)
+        orow = np.zeros_like(row)
+        ov = np.zeros_like(valid)
+        for c in range(c_n):
+            pairs = sorted(
+                zip(qidx[c][valid[c]], row[c][valid[c]])
+            )
+            for j, (a, b) in enumerate(pairs):
+                oq[c, j], orow[c, j], ov[c, j] = a, b, True
+        return jnp.asarray(oq), jnp.asarray(orow), jnp.asarray(ov)
+
+    ca = canon(cand.pair_qidx, cand.pair_row, cand.pair_valid)
+    cb = canon(pb_qidx, pb_row, pb_valid)
+    va = verify_pairs(q.vertices[ca[0]], db.vertices[ca[1]], ca[2],
+                      cand.valid, cfg.search)
+    vb = verify_pairs(q.vertices[cb[0]], db.vertices[cb[1]], cb[2],
+                      cand.valid, cfg.search)
+    np.testing.assert_array_equal(
+        np.asarray(va.scores)[eq_ok], np.asarray(vb.scores)[eq_ok]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(va.inliers)[eq_ok], np.asarray(vb.inliers)[eq_ok]
+    )
+    np.testing.assert_allclose(
+        np.asarray(va.trans)[eq_ok], np.asarray(vb.trans)[eq_ok], atol=1e-5
+    )
+
+
+def test_exact_fallback_top_candidate_tight(world):
+    """Top-candidate agreement between localize_exact and the uncapped
+    localize: same frame, same votes, pose within centimetres (was
+    atol=2.0 — VERDICT r2 weak #4)."""
+    cfg, db, queries = world
+    g = queries[0]
+    small = _tiny_caps(cfg, max_scan_slots=32)
+    res_exact = localize_exact(db, g, small)
+    res_full = localize(db, g, cfg)
+    assert int(res_full.truncated) & TRUNC_SCAN == 0
+    assert int(res_exact.best_frame) == int(res_full.best_frame)
+    np.testing.assert_array_equal(
+        np.asarray(res_exact.votes), np.asarray(res_full.votes)
+    )
+    # Scores/poses may differ only through pair-list ORDER (hypothesis
+    # sampling); on the top candidate the inlier-polished poses must agree
+    # to centimetres.
+    np.testing.assert_allclose(
+        np.asarray(res_exact.poses[0]), np.asarray(res_full.poses[0]),
+        atol=0.05,
+    )
+
+
 def test_pair_saturation_flagged(world):
     cfg, db, queries = world
     g = queries[1]

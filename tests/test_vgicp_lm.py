@@ -124,6 +124,40 @@ def test_vgicp_rerank_picks_true_candidate(world, rng):
     assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.05
 
 
+def test_vgicp_rerank_prebuilt_vmaps_match(world, rng):
+    """The prebuilt-voxel-map fast path (build once at map load, gather per
+    candidate) must produce the same transforms/fitness as the per-call
+    build path — the voxel map only depends on the target cloud."""
+    from sgtd_tpu.refine.vgicp import build_voxel_maps
+
+    tgt, mask, _, _ = world
+    n = tgt.shape[0]
+    xi = np.array([0.3, -0.2, 0.05, 0.01, 0.0, 0.03], np.float32)
+    Tinv = np.linalg.inv(np.asarray(se3.se3_exp(jnp.asarray(xi))))
+    src = (tgt @ Tinv[:3, :3].T + Tinv[:3, 3]).astype(np.float32)
+    others = [_scene(np.random.default_rng(s)) for s in (100, 200)]
+    tgts = jnp.asarray(np.stack([tgt] + others))
+    masks = jnp.asarray(np.ones((3, n), bool))
+    inits = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (3, 1, 1)))
+    cfg = GicpConfig(num_neighbors=10, max_iterations=10, max_points=n)
+    covs = jax.vmap(lambda c, m: point_covariances(c, m, cfg))(tgts, masks)
+
+    old = vgicp_rerank(
+        jnp.asarray(src), mask, tgts, masks, inits, cfg, tgt_covs=covs
+    )
+    vmaps = build_voxel_maps(tgts, masks, covs, cfg)
+    new = vgicp_rerank(
+        jnp.asarray(src), mask, jnp.asarray(src), mask, inits, cfg,
+        voxel_maps=vmaps,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.transform), np.asarray(old.transform), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.fitness), np.asarray(old.fitness), rtol=1e-4, atol=1e-5
+    )
+
+
 # ------------------------------------------------------------- LM mechanics
 
 

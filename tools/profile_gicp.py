@@ -19,22 +19,29 @@ import jax.numpy as jnp
 from sgtd_tpu.config import GicpConfig
 from sgtd_tpu.ops.linalg3 import sym_eig3x3
 from sgtd_tpu.refine.gicp import knn_indices, point_covariances, gicp_rerank
-from sgtd_tpu.refine.vgicp import build_voxel_map, vgicp_align, point_covariances as _pc
+from sgtd_tpu.refine.vgicp import build_voxel_map, vgicp_align
 
 
-def timed(label, fn, *args, reps=5, jig=0):
-    """jig: index of the float arg to perturb per rep (defeats relay dedup)."""
+def timed(label, fn, *args, reps=5, jig=0, batch=16):
+    """jig: index of the float arg to perturb per rep (defeats relay dedup).
+
+    Variants are precomputed outside the timed window, and the warmup uses
+    variant 0 while timing runs variants 1..reps (ADVICE r2: warmup/rep-0
+    overlap is a dedup hit; building variants inside the window adds
+    dispatch overhead to the measurement).
+    """
     def var(i):
         a = list(args)
         a[jig] = a[jig] + jnp.float32(i * 1e-9)
         return tuple(a)
-    out = jax.block_until_ready(fn(*var(0)))
+    variants = [var(i) for i in range(reps + 1)]
+    out = jax.block_until_ready(fn(*variants[0]))
     t0 = time.time()
-    for i in range(reps):
-        out = fn(*var(i))
+    for i in range(1, reps + 1):
+        out = fn(*variants[i])
     jax.block_until_ready(out)
     dt = (time.time() - t0) / reps * 1000
-    print(f"[prof] {label:46s} {dt:8.2f} ms/dispatch ({dt/16:6.2f} ms/query)")
+    print(f"[prof] {label:46s} {dt:8.2f} ms/dispatch ({dt/batch:6.2f} ms/query)")
     return out
 
 
@@ -94,16 +101,6 @@ def main():
         return jax.vmap(per_cand)(vm, T0)
     vg2 = jax.jit(jax.vmap(vg2_one))
     timed("vgicp_rerank (prebuilt vm)", vg2, clouds, masks, vms, inits, covs)
-
-    # 7. vgicp prebuilt + NO src covs in timing (precomputed)
-    def vg3_one(s, sm, vm, T0, sc):
-        def per_cand(vmc, TT):
-            return vgicp_align(s, sm, s, sm, TT, cfg, src_cov=sc,
-                               voxel_map=vmc)
-        return jax.vmap(per_cand)(vm, T0)
-    # same as 6 but with covs passed in — already the case; instead time the
-    # pure align loop given covs (6 == 7). Skip.
-
 
 if __name__ == "__main__":
     main()

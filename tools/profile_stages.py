@@ -36,22 +36,38 @@ from sgtd_tpu.eval.runner import stack_graphs as stack
 from sgtd_tpu.refine.gicp import point_covariances, gicp_rerank
 
 
-def timed(label, fn, *args, reps=5, perturb=None, **kw):
+def _default_perturb(args, i):
+    """Perturb the first float-array arg by i nm (numerically irrelevant,
+    defeats the relay's identical-execution dedup). ADVICE r2: perturb=None
+    must not silently time cache hits."""
+    a = list(args)
+    for j, x in enumerate(a):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            a[j] = x + jnp.float32(i * 1e-9)
+            return tuple(a)
+    raise ValueError("no float arg to perturb; pass perturb= explicitly")
+
+
+def timed(label, fn, *args, reps=5, perturb=None, batch=16, **kw):
     """Time fn, defeating the axon relay's identical-execution cache.
 
     The relay returns cached results for repeated dispatches of the same
     executable on the same input buffers (measured: 0.04 ms for a 4096^3
     matmul repeat vs 38 ms chained), so each rep must receive distinct
     inputs. ``perturb(args, i)`` returns a fresh argument tuple per rep.
+    Variant 0 is warmup-only; reps 1..reps are timed (ADVICE r2: a rep that
+    reuses the warmup buffers is a dedup hit and under-reports by ~1/reps).
     """
-    variants = [perturb(args, i) if perturb else args for i in range(reps)]
-    out = jax.block_until_ready(fn(*variants[0], **kw))  # compile
+    if perturb is None:
+        perturb = _default_perturb
+    variants = [perturb(args, i) for i in range(reps + 1)]
+    out = jax.block_until_ready(fn(*variants[0], **kw))  # compile + warm
     t0 = time.time()
-    for i in range(reps):
+    for i in range(1, reps + 1):
         out = fn(*variants[i], **kw)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / reps * 1000
-    print(f"[prof] {label:40s} {dt:8.2f} ms/dispatch  ({dt/16:6.2f} ms/query)")
+    print(f"[prof] {label:40s} {dt:8.2f} ms/dispatch  ({dt/batch:6.2f} ms/query)")
     return out
 
 
@@ -96,8 +112,12 @@ def main():
 
     def jiggle_graph(args, i):
         # perturb graph centers by i nm: numerically irrelevant, defeats dedup
-        g = args[1]._replace(centers=args[1].centers + jnp.float32(i * 1e-9))
-        return (args[0], g) + args[2:]
+        a = list(args)
+        for j, x in enumerate(a):
+            if hasattr(x, "centers"):
+                a[j] = x._replace(centers=x.centers + jnp.float32(i * 1e-9))
+                return tuple(a)
+        raise ValueError("no SemanticGraph arg found")
 
     def jiggle_cloud_at(pos):
         def f(args, i):
