@@ -102,7 +102,14 @@ def main():
     from sgtd_tpu.match.pipeline import localize_refined
 
     t0 = time.time()
-    cloud_pts = 4096
+    # Reference cloud preprocessing (semantic_graph_localization.cpp:653-662):
+    # the query/source cloud is voxel-downsampled at SG_data/leaf_size (3.0,
+    # config/SG_localization.yaml:14) before GICP; the map/target keyframe
+    # cloud is used RAW (its downsample is commented out, :681-688).
+    cloud_pts = 4096  # raw render size (map targets stay at this)
+    src_pts = 2048  # post-downsample static cap for query sources
+    from sgtd_tpu.ops.voxel import load_query_cloud
+
     rng = np.random.default_rng(77)
     m_clouds, m_masks = zip(
         *(render_cloud(world, p, rng, max_points=cloud_pts) for p in world.map_poses)
@@ -112,12 +119,20 @@ def main():
     map_covs = jax.jit(
         jax.vmap(functools.partial(point_covariances, cfg=cfg.gicp))
     )(map_clouds, map_masks)
-    q_clouds, q_masks = zip(
-        *(render_cloud(world, p, rng, max_points=cloud_pts) for p in world.query_poses)
-    )
+    q_clouds, q_masks = [], []
+    for p in world.query_poses:
+        c, m = render_cloud(world, p, rng, max_points=cloud_pts)
+        qc, qm = load_query_cloud(c[m], cfg.gicp.leaf_size, src_pts)
+        q_clouds.append(qc)
+        q_masks.append(qm)
     query_clouds = jnp.asarray(np.stack(q_clouds))
     query_masks = jnp.asarray(np.stack(q_masks))
-    print(f"[bench] clouds+covs: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(
+        f"[bench] clouds+covs: {time.time()-t0:.1f}s "
+        f"(src pts after leaf-{cfg.gicp.leaf_size} downsample: "
+        f"{int(np.asarray(query_masks).sum(1).mean())} avg)",
+        file=sys.stderr,
+    )
 
     # Localization: jit over query chunks (vmap); chunking bounds the padded
     # probe workspace while dispatches stay pipelined.

@@ -116,9 +116,11 @@ class GicpConfig:
     # Registration engine: "gicp" (point-to-point NN, ref fast_gicp) or
     # "vgicp" (Gaussian voxel map, ref fast_vgicp).
     engine: str = "gicp"
-    # SE(3) stepping: "gn" (plain Gauss-Newton) or "lm" (the reference's
-    # Levenberg-Marquardt trust region, lsq_registration_impl.hpp:123-163).
-    optimizer: str = "gn"
+    # SE(3) stepping: "lm" (the reference's default optimizer,
+    # lsq_registration_impl.hpp:15, trust region :123-163) or "gn" (plain
+    # Gauss-Newton). LM costs the same as GN here since the 6x6 solves are
+    # unrolled Cholesky (ops.linalg3.chol_solve6): BENCH_NOTES GN-vs-LM row.
+    optimizer: str = "lm"
     # LM knobs (ref LsqRegistration ctor, lsq_registration_impl.hpp:9-21).
     lm_max_inner: int = 8  # ref lm_max_iterations_ = 10
     lm_init_lambda_factor: float = 1e-9

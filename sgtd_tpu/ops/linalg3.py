@@ -223,3 +223,44 @@ def kabsch(src: jnp.ndarray, ref: jnp.ndarray, weights: jnp.ndarray | None = Non
     )
     t = mu_r[..., 0, :] - jnp.einsum("...ij,...j->...i", rot, mu_s[..., 0, :])
     return rot, t
+
+
+def chol_solve6(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = g for SPD 6x6 H, fully unrolled (batched over leading dims).
+
+    The se(3) normal-equation solve of the registration engines
+    (H + lambda I from J^T M J, ref lsq_registration_impl.hpp:110,137).
+    jnp.linalg.solve lowers 6x6 batches to a pivoted-LU loop on TPU —
+    measured 0.62 ms per batched solve at the rerank's (16, 4) batch, which
+    multiplied by the LM trust region's 8 inner solves per outer iteration
+    dominated the optimizer. This unrolled Cholesky is ~50 vectorized
+    scalar ops over the batch (~us), exact for the SPD case.
+
+    H (..., 6, 6), g (..., 6) -> x (..., 6).
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                # Clamp: H is PSD + damping; guard exact zeros on fully
+                # masked-out candidates.
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)

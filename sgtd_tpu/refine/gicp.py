@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from sgtd_tpu.config import GicpConfig
 from sgtd_tpu.geom import se3
+from sgtd_tpu.ops import pallas_nn
 from sgtd_tpu.ops.linalg3 import inv3x3, sym_eig3x3
 from sgtd_tpu.refine.lsq import gn_solve, lm_solve
 
@@ -55,51 +56,25 @@ class GicpResult(NamedTuple):
     num_inliers: jnp.ndarray  # () correspondences within threshold
 
 
-def _chunked_sq_dists(query: jnp.ndarray, ref: jnp.ndarray, chunk: int = 1024):
-    """Yield squared-distance blocks (chunk, T) via the matmul expansion.
-
-    The cross-term matmul runs at HIGHEST precision: the TPU default feeds
-    the MXU bf16 inputs, and with |coords| ~ 50 the cancellation error in
-    q_sq + ref_sq - 2 q.r reaches O(10) m^2 — enough to corrupt nearest
-    neighbours. The matmul is K=3, a negligible FLOP count either way.
-    """
-    ref_sq = jnp.sum(ref * ref, axis=-1)  # (T,)
-
-    def block(qc):
-        q_sq = jnp.sum(qc * qc, axis=-1)  # (chunk,)
-        cross = jnp.dot(qc, ref.T, precision=jax.lax.Precision.HIGHEST)
-        return q_sq[:, None] + ref_sq[None, :] - 2.0 * cross
-
-    return block
-
-
 def knn_indices(
     points: jnp.ndarray, mask: jnp.ndarray, k: int, chunk: int = 1024
 ) -> jnp.ndarray:
     """k nearest neighbours (self included) within one masked cloud: (N, k).
 
+    Pallas fused kernel (ops.pallas_nn.knn): the distance tile stays in
+    VMEM and k min-extraction passes replace lax.top_k, whose XLA:TPU
+    lowering at k=20 does a full per-row sort — measured 8.7 of the 9.4
+    ms/query covariance stage at N=4096 (tools/profile_cov2.py); the kernel
+    runs the same shape in 0.6 ms.
+
     Masking is done by DISPLACING masked points to a far coordinate rather
-    than editing the distance matrix: any elementwise epilogue between the
-    distance expression and top_k breaks XLA:TPU's fused matmul+TopK
-    pattern and falls back to a full per-row sort — measured 170x slower
-    (17.5 ms vs 0.1 ms for 8192x8192, k=20). Padding points cluster among
-    themselves at the far coordinate; their outputs are gated by ``mask``
-    downstream, exactly as with distance masking.
+    than editing the distance matrix (no epilogue between the MXU distance
+    expression and the reduction). Padding points cluster among themselves
+    at the far coordinate; their outputs are gated by ``mask`` downstream.
     """
-    n = points.shape[0]
+    del chunk  # legacy XLA-path tiling knob
     pts_eff = jnp.where(mask[:, None], points, jnp.float32(1e6))
-    ref_sq = jnp.sum(pts_eff * pts_eff, axis=-1)
-
-    def body(qc):
-        q_sq = jnp.sum(qc * qc, axis=-1)
-        cross = jnp.dot(qc, pts_eff.T, precision=jax.lax.Precision.HIGHEST)
-        d = q_sq[:, None] + ref_sq[None, :] - 2.0 * cross
-        _, idx = jax.lax.top_k(-d, k)
-        return idx
-
-    n_chunks = n // chunk
-    idx = jax.lax.map(body, pts_eff.reshape(n_chunks, chunk, 3))
-    return idx.reshape(n, k)
+    return pallas_nn.knn(pts_eff, pts_eff, k)
 
 
 def point_covariances(
@@ -138,20 +113,16 @@ def gicp_align(
     # Masked target points displaced far away (see knn_indices: editing the
     # distance matrix breaks the fused matmul+reduction lowering).
     tgt_eff = jnp.where(tgt_mask[:, None], tgt, jnp.float32(1e6))
-    chunk = 1024
     n = src.shape[0]
-    n_chunks = n // chunk
 
     def nn_of(transformed):
-        """Nearest target index + sq dist for each (transformed) src point."""
-        block = _chunked_sq_dists(transformed, tgt_eff, chunk)
+        """Nearest target index + sq dist for each (transformed) src point.
 
-        def body(qc):
-            d = block(qc)
-            return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
-
-        idx, dist = jax.lax.map(body, transformed.reshape(n_chunks, chunk, 3))
-        return idx.reshape(n), dist.reshape(n)
+        Pallas fused distance+argmin (ops.pallas_nn.nn1): the (N, T)
+        distance matrix is reduced tile-by-tile in VMEM instead of being
+        materialised in HBM every GICP iteration.
+        """
+        return pallas_nn.nn1(transformed, tgt_eff)
 
     def linearize(T):
         """linearize (fast_gicp_impl.hpp:118-176): correspondences + H, g.
