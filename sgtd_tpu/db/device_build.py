@@ -67,10 +67,13 @@ def _assemble(
 
     codes = jnp.where(valid_s, key_s % _N_CODES, -1)
     qs = jnp.clip(jnp.round(sides_s * 256.0), 0, 65535).astype(jnp.uint32)
-    packed_lo = qs[:, 0] | (qs[:, 1] << 16)
     # Frame ids beyond 16 bits are unpackable; wide-frame DBs are served by
     # the frame_ids gather instead (search._frame_of_rows).
-    packed_hi = qs[:, 2] | ((frames_s.astype(jnp.uint32) & 0xFFFF) << 16)
+    packed2 = jnp.stack(
+        [qs[:, 0] | (qs[:, 1] << 16),
+         qs[:, 2] | ((frames_s.astype(jnp.uint32) & 0xFFFF) << 16)],
+        axis=-1,
+    )
 
     n_cells_total = extent * extent * extent
     cells = jnp.where(valid_s, key_s // _N_CODES, n_cells_total)
@@ -142,8 +145,7 @@ def _assemble(
     db = DescriptorDB(
         keys=key_s,
         codes=codes.astype(jnp.int32),
-        packed_lo=packed_lo,
-        packed_hi=packed_hi,
+        packed2=packed2,
         vertices=verts_s,
         frame_ids=frames_s,
         cell_start=cell_start,
@@ -238,8 +240,11 @@ def _append_assemble(db, new_descs, new_poses, cfg, f_old):
     key = ((q[:, 0] * extent + q[:, 1]) * extent + q[:, 2]) * _N_CODES + code
     key = jnp.where(valid, key, jnp.int32(PAD_KEY))
     qs = jnp.clip(jnp.round(sides * 256.0), 0, 65535).astype(jnp.uint32)
-    plo = qs[:, 0] | (qs[:, 1] << 16)
-    phi = qs[:, 2] | ((frames.astype(jnp.uint32) & 0xFFFF) << 16)
+    p2 = jnp.stack(
+        [qs[:, 0] | (qs[:, 1] << 16),
+         qs[:, 2] | ((frames.astype(jnp.uint32) & 0xFFFF) << 16)],
+        axis=-1,
+    )
     codes = jnp.where(valid, code, -1)
 
     all_key = jnp.concatenate([db.keys, key])
@@ -247,8 +252,7 @@ def _append_assemble(db, new_descs, new_poses, cfg, f_old):
     key_s = all_key[order]
     take = lambda a, b: jnp.concatenate([a, b])[order]
     codes_s = take(db.codes, codes)
-    plo_s = take(db.packed_lo, plo)
-    phi_s = take(db.packed_hi, phi)
+    p2_s = take(db.packed2, p2)
     verts_s = take(db.vertices, verts)
     frames_s = take(db.frame_ids, frames)
     valid_s = key_s != jnp.int32(PAD_KEY)
@@ -286,7 +290,7 @@ def _append_assemble(db, new_descs, new_poses, cfg, f_old):
         int(counts.max()) if counts.size else 0,
     )
     new_db = DescriptorDB(
-        keys=key_s, codes=codes_s, packed_lo=plo_s, packed_hi=phi_s,
+        keys=key_s, codes=codes_s, packed2=p2_s,
         vertices=verts_s, frame_ids=frames_s, cell_start=cell_start,
         frame_rows=frame_rows, frame_start=frame_start,
         frame_poses=fp, frame_valid=fv,

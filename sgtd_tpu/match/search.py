@@ -95,14 +95,15 @@ class ProbeHits(NamedTuple):
 def _frame_of_rows(db: DescriptorDB, rows: jnp.ndarray) -> jnp.ndarray:
     """Owning keyframe of DB rows.
 
-    Fast path reads the frame id packed into the high 16 bits of packed_hi;
-    DBs beyond 65536 keyframes (frame ids unpackable — the reference's hard
-    MAX_FRAME_N=20000 ceiling, STDesc.h:33, lifted here) fall back to one
-    extra int32 gather from frame_ids. The choice is static (array shapes).
+    Fast path reads the frame id packed into the high 16 bits of packed2
+    word 1; DBs beyond 65536 keyframes (frame ids unpackable — the
+    reference's hard MAX_FRAME_N=20000 ceiling, STDesc.h:33, lifted here)
+    fall back to one extra int32 gather from frame_ids. The choice is
+    static (array shapes).
     """
     if db.frame_poses.shape[0] > 65536:
         return db.frame_ids[rows]
-    return (db.packed_hi[rows] >> 16).astype(jnp.int32)
+    return (db.packed2[rows, 1] >> 16).astype(jnp.int32)
 
 
 def _bucket_lookup(
@@ -189,6 +190,9 @@ def probe_and_hits(
     cell_start offsets are clipped into the local range.
     """
     d_max = query.sides.shape[0]
+    # The packed (desc << 15 | side_c) expansion below needs desc ids to fit
+    # 16 bits alongside the 15-bit side without int32 overflow.
+    assert d_max <= 1 << 16, "max_descriptors beyond the packed-expansion bound"
 
     m_rows = db.keys.shape[0]
 
@@ -234,10 +238,10 @@ def probe_and_hits(
     row = _expand(start.ravel() - heads) + slot
     row_c = jnp.clip(row, 0, m_rows - 1)
     job_desc = jnp.arange(n_jobs, dtype=jnp.int32) // 27
-    desc = _expand(job_desc)  # nondecreasing
 
-    lo_w = db.packed_lo[row_c]  # (L,) uint32
-    hi_w = db.packed_hi[row_c]
+    w2 = db.packed2[row_c]  # (L, 2) uint32 — ONE 8-byte slice gather per row
+    lo_w = w2[:, 0]
+    hi_w = w2[:, 1]
     if db.frame_poses.shape[0] > 65536:
         frame_of_hit = db.frame_ids[row_c]  # wide-frame DB: extra gather
     else:
@@ -251,10 +255,17 @@ def probe_and_hits(
     # ~4 ms/query). Two expansions carry all three sides: (a << 15 | b)
     # and c; thresholds are recomputed per slot on the VPU. 15-bit packing
     # holds sides up to 127 cells — beyond the key-space validation bound.
+    # Three expansions carry everything (delta/cumsum is linear, so the
+    # telescoped sum reproduces any PACKED integer exactly): (a << 15 | b),
+    # and (desc << 15 | c) — descriptor id (<= 11 bits) shares a word with
+    # side c (15 bits), saving a fourth scatter+cumsum pass over L
+    # (chain_probe.py: the expansions are 2 of the probe stage's 5.4 ms).
     qq = jnp.clip(jnp.round(query.sides * 256.0), 0, 32767).astype(jnp.int32)
     qq_j = qq[job_desc]  # (NJ, 3) — job-level gather, 27x smaller than L
     q_ab = _expand((qq_j[:, 0] << 15) | qq_j[:, 1])
-    q_c = _expand(qq_j[:, 2])
+    dq_c = _expand((job_desc << 15) | qq_j[:, 2])
+    desc = dq_c >> 15  # nondecreasing
+    q_c = dq_c & 32767
     q_a = q_ab >> 15
     q_b = q_ab & 32767
     da = (lo_w & 0xFFFF).astype(jnp.int32) - q_a
@@ -326,17 +337,36 @@ def extract_pairs(
     cand_frames: jnp.ndarray,
     cand_valid: jnp.ndarray,
     pairs_per_candidate: int,
+    f_pad: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Stage 3: group hits by frame and slice each candidate's pair list."""
+    """Stage 3: group hits by frame and slice each candidate's pair list.
+
+    The frame grouping is ONE int32 value sort of (frame * DU + flat_index)
+    — stable by construction — instead of a stable argsort + three
+    take_along_axis gathers (measured 1.17 -> ~0.4 ms/query at bench scale;
+    sorts and random gathers, not FLOPs, bound this stage). The packing
+    needs (f_pad + 1) * DU < 2^31; wide DBs fall back to argsort.
+    """
     d_max, u = sel_frame.shape
     du = d_max * u
     hf = sel_frame.ravel()
-    hq = jnp.broadcast_to(
-        jnp.arange(d_max, dtype=jnp.int32)[:, None], (d_max, u)
-    ).ravel()
     hr = sel_row.ravel()
-    order = jnp.argsort(hf, stable=True)
-    hf_s, hq_s, hr_s = hf[order], hq[order], hr[order]
+    if f_pad is not None and (f_pad + 1) * du < 2**31:
+        # Packed fast path. hq (the query-descriptor id) is
+        # flat_index // u — recomputed from the sorted value, no gather.
+        flat = jnp.arange(du, dtype=jnp.int32)
+        s = jnp.sort(hf * jnp.int32(du) + flat)
+        hf_s = s // jnp.int32(du)
+        idx_s = s - hf_s * jnp.int32(du)
+        hq_s = idx_s // jnp.int32(u)
+        hr_s = hr[idx_s]
+    else:
+        # Wide-DB fallback (frame * DU would overflow int32).
+        hq = jnp.broadcast_to(
+            jnp.arange(d_max, dtype=jnp.int32)[:, None], (d_max, u)
+        ).ravel()
+        order = jnp.argsort(hf, stable=True)
+        hf_s, hq_s, hr_s = hf[order], hq[order], hr[order]
 
     p = pairs_per_candidate
     lo = jnp.searchsorted(hf_s, cand_frames)  # (C,)
@@ -362,7 +392,7 @@ def candidate_search(
     cand_votes, cand_frames, cand_valid = select_candidates(ph.votes, search)
     pair_qidx, pair_row, pair_valid = extract_pairs(
         ph.sel_row, ph.sel_frame, cand_frames, cand_valid,
-        caps.pairs_per_candidate,
+        caps.pairs_per_candidate, f_pad=db.frame_poses.shape[0],
     )
     truncated = (
         ph.scan_overflow.astype(jnp.int32) * TRUNC_SCAN
@@ -400,9 +430,12 @@ def calibrate_scan_slots(db, sample_queries, config, margin: float = 1.5):
         return jax.vmap(one)(qs)
 
     t = int(np.asarray(totals(sample_queries)).max())
-    fitted = 8192
-    while fitted < t * margin:
-        fitted *= 2
+    # 8192-slot granularity instead of powers of two: every probe-stage op
+    # (the packed-word gathers, the delta-scatter expansions, the rough
+    # filter, the vote segment-sum) scales linearly with the cap, and pow2
+    # rounding wasted up to 2x (e.g. a 75k-slot workload padding to 131072
+    # instead of 114688 — measured 5.4 ms/query probe stage, chain_probe.py).
+    fitted = max(8192, -(-int(t * margin) // 8192) * 8192)
     caps = dataclasses.replace(
         config.caps, max_scan_slots=min(fitted, config.caps.max_scan_slots)
     )
@@ -502,8 +535,9 @@ def extract_pairs_by_frame(
     rows = jnp.minimum(rows, m_rows - 1)
 
     rowkey = db.keys[rows]  # (C, R)
-    lo_w = db.packed_lo[rows]
-    hi_w = db.packed_hi[rows]
+    w2 = db.packed2[rows]  # (C, R, 2)
+    lo_w = w2[..., 0]
+    hi_w = w2[..., 1]
     inv256 = jnp.float32(1.0 / 256.0)
     sa = (lo_w & 0xFFFF).astype(jnp.float32) * inv256
     sb = (lo_w >> 16).astype(jnp.float32) * inv256

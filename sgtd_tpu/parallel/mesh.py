@@ -44,8 +44,7 @@ def db_sharding(mesh: Mesh):
     return DescriptorDB(
         keys=NamedSharding(mesh, P("db")),
         codes=NamedSharding(mesh, P("db")),
-        packed_lo=NamedSharding(mesh, P("db")),
-        packed_hi=NamedSharding(mesh, P("db")),
+        packed2=NamedSharding(mesh, P("db", None)),
         vertices=NamedSharding(mesh, P("db", None, None)),
         frame_ids=NamedSharding(mesh, P("db")),
         cell_start=NamedSharding(mesh, P(None)),

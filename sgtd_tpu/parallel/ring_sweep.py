@@ -43,8 +43,7 @@ class _RingBlock(NamedTuple):
 
     keys: jnp.ndarray
     codes: jnp.ndarray
-    packed_lo: jnp.ndarray
-    packed_hi: jnp.ndarray
+    packed2: jnp.ndarray
     vertices: jnp.ndarray
     frame_ids: jnp.ndarray
 
@@ -61,8 +60,7 @@ def _localize_ring(db_local: DescriptorDB, graphs: SemanticGraph, config: SGTDCo
     block0 = _RingBlock(
         keys=db_local.keys,
         codes=db_local.codes,
-        packed_lo=db_local.packed_lo,
-        packed_hi=db_local.packed_hi,
+        packed2=db_local.packed2,
         vertices=db_local.vertices,
         frame_ids=db_local.frame_ids,
     )
@@ -78,8 +76,7 @@ def _localize_ring(db_local: DescriptorDB, graphs: SemanticGraph, config: SGTDCo
             sub_db = db_local._replace(
                 keys=block.keys,
                 codes=block.codes,
-                packed_lo=block.packed_lo,
-                packed_hi=block.packed_hi,
+                packed2=block.packed2,
                 vertices=block.vertices,
                 frame_ids=block.frame_ids,
             )
@@ -124,7 +121,7 @@ def _localize_ring(db_local: DescriptorDB, graphs: SemanticGraph, config: SGTDCo
         )
         pq, pslot, pv = extract_pairs(
             flat_ids, sel_frame_all, cand_frames, cand_valid,
-            caps.pairs_per_candidate,
+            caps.pairs_per_candidate, f_pad=f_pad,
         )
         verts_flat = jnp.transpose(bank_verts, (1, 0, 2, 3, 4)).reshape(
             d_max * n_dev * u, 3, 3
@@ -166,8 +163,7 @@ def make_ring_localizer(mesh: Mesh, config: SGTDConfig = SGTDConfig()):
     db_specs = DescriptorDB(
         keys=P("dp"),
         codes=P("dp"),
-        packed_lo=P("dp"),
-        packed_hi=P("dp"),
+        packed2=P("dp", None),
         vertices=P("dp", None, None),
         frame_ids=P("dp"),
         cell_start=P(None),

@@ -69,7 +69,10 @@ def _localize_one_sharded(db_local: DescriptorDB, query: Descriptors, config: SG
         "db",
     )
     cand_votes, cand_frames, cand_valid = select_candidates(votes, config.search)
-    pq, pr, pv = extract_pairs(sel_row, sel_frame, cand_frames, cand_valid, p_local)
+    pq, pr, pv = extract_pairs(
+        sel_row, sel_frame, cand_frames, cand_valid, p_local,
+        f_pad=db_local.frame_poses.shape[0],
+    )
 
     # Gather vertex triples locally (pair rows are shard-local indices),
     # then concatenate pair lists across shards.
@@ -113,8 +116,7 @@ def make_sharded_localizer(mesh: Mesh, config: SGTDConfig = SGTDConfig()):
     db_specs = DescriptorDB(
         keys=P("db"),
         codes=P("db"),
-        packed_lo=P("db"),
-        packed_hi=P("db"),
+        packed2=P("db", None),
         vertices=P("db", None, None),
         frame_ids=P("db"),
         cell_start=P(None),

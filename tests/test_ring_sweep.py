@@ -36,8 +36,7 @@ def test_ring_sweep_matches_single_device(small_config):
     sh = DescriptorDB(
         keys=NamedSharding(mesh, P("dp")),
         codes=NamedSharding(mesh, P("dp")),
-        packed_lo=NamedSharding(mesh, P("dp")),
-        packed_hi=NamedSharding(mesh, P("dp")),
+        packed2=NamedSharding(mesh, P("dp", None)),
         vertices=NamedSharding(mesh, P("dp", None, None)),
         frame_ids=NamedSharding(mesh, P("dp")),
         cell_start=NamedSharding(mesh, P(None)),

@@ -133,22 +133,21 @@ def main():
 
     chain_time("4x delta-scatter expansions", sides0, expansions_only, k_hi=5)
 
-    # C. the two packed-word gathers at random rows
+    # C. the packed-word slice gather at random rows
     rng = np.random.default_rng(0)
     rows_fixed = jnp.asarray(
         rng.integers(0, m_rows, (CHUNK, l_max), dtype=np.int32)
     )
     def gathers_only(carry):
         z = z_of(carry)
-        lo = db.packed_lo[rows_fixed + z]
-        hi = db.packed_hi[rows_fixed + z]
-        tot = jnp.sum(lo, axis=1) + jnp.sum(hi, axis=1)
+        w2 = db.packed2[rows_fixed + z]  # (CHUNK, L, 2)
+        tot = jnp.sum(w2[..., 0], axis=1) + jnp.sum(w2[..., 1], axis=1)
         return carry + jnp.float32(1e-30) * tot[:, None, None].astype(jnp.float32)
-    chain_time("2x packed-word gathers (L rows)", sides0, gathers_only, k_hi=5)
+    chain_time("packed2 slice gather (L rows x 8B)", sides0, gathers_only, k_hi=5)
 
     # D. rough filter + vote segment_sum on fixed gathered words
-    lo0 = jax.block_until_ready(jax.jit(lambda: db.packed_lo[rows_fixed])())
-    hi0 = jax.block_until_ready(jax.jit(lambda: db.packed_hi[rows_fixed])())
+    w20 = jax.block_until_ready(jax.jit(lambda: db.packed2[rows_fixed])())
+    lo0, hi0 = w20[..., 0], w20[..., 1]
     f_pad = db.frame_poses.shape[0]
     def filter_votes(carry):
         z = z_of(carry)

@@ -90,16 +90,23 @@ def main():
     print(f"[chain] setup {time.time()-t0:.0f}s rows={report.num_rows} "
           f"slots={cfg.caps.max_scan_slots}", file=sys.stderr)
 
-    cloud_pts = 4096
+    # Bench cloud preprocessing (bench.py): raw 4096-pt map targets,
+    # leaf-3.0 downsampled query sources capped at 1024.
+    from sgtd_tpu.ops.voxel import load_query_cloud
+
+    cloud_pts, src_pts = 4096, 1024
     rng = np.random.default_rng(77)
     m = [render_cloud(world, p, rng, max_points=cloud_pts) for p in world.map_poses]
     map_clouds = jnp.asarray(np.stack([c for c, _ in m]))
     map_masks = jnp.asarray(np.stack([k for _, k in m]))
     map_covs = jax.jit(jax.vmap(functools.partial(point_covariances, cfg=cfg.gicp)))(
         map_clouds, map_masks)
-    q = [render_cloud(world, p, rng, max_points=cloud_pts) for p in world.query_poses]
-    qc = jnp.asarray(np.stack([c for c, _ in q]))[:CHUNK]
-    qm = jnp.asarray(np.stack([k for _, k in q]))[:CHUNK]
+    q = []
+    for p_ in world.query_poses[:CHUNK]:
+        c, mk = render_cloud(world, p_, rng, max_points=cloud_pts)
+        q.append(load_query_cloud(c[mk], cfg.gicp.leaf_size, src_pts))
+    qc = jnp.asarray(np.stack([c for c, _ in q]))
+    qm = jnp.asarray(np.stack([k for _, k in q]))
     g16 = jax.tree_util.tree_map(lambda x: x[:CHUNK], query_batch_all)
     vmaps = build_voxel_maps(map_clouds, map_masks, map_covs, cfg.gicp)
     jax.block_until_ready(vmaps)
@@ -122,7 +129,7 @@ def main():
             covs = pc(c, qm)
             return c + eps * jnp.sum(covs[:, :1, 0, 0])
         return qc, step
-    chain_time("point_covariances (16x4096)", mk_cov, k_hi=9)
+    chain_time("src point_covariances (16x1024, pallas knn)", mk_cov, k_hi=9)
 
     # pick candidate frames once for rerank chains
     locj = jax.jit(jax.vmap(functools.partial(localize, config=cfg),

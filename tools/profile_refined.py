@@ -90,7 +90,12 @@ def main():
     cfg = calibrate_scan_slots(db, sample_descs, cfg)
     print(f"[prof] db rows={report.num_rows}", file=sys.stderr)
 
-    cloud_pts = 4096
+    # Bench cloud preprocessing (bench.py): raw 4096-pt map targets,
+    # leaf-3.0 voxel-downsampled query sources capped at 1024
+    # (reference semantics, semantic_graph_localization.cpp:653-688).
+    from sgtd_tpu.ops.voxel import load_query_cloud
+
+    cloud_pts, src_pts = 4096, 1024
     rng = np.random.default_rng(77)
     m_clouds, m_masks = zip(
         *(render_cloud(world, p, rng, max_points=cloud_pts) for p in world.map_poses)
@@ -100,9 +105,12 @@ def main():
     map_covs = jax.jit(jax.vmap(functools.partial(point_covariances, cfg=cfg.gicp)))(
         map_clouds, map_masks
     )
-    q_clouds, q_masks = zip(
-        *(render_cloud(world, p, rng, max_points=cloud_pts) for p in world.query_poses)
-    )
+    q_clouds, q_masks = [], []
+    for p_ in world.query_poses:
+        c, m = render_cloud(world, p_, rng, max_points=cloud_pts)
+        qc, qm = load_query_cloud(c[m], cfg.gicp.leaf_size, src_pts)
+        q_clouds.append(qc)
+        q_masks.append(qm)
     query_clouds = jnp.asarray(np.stack(q_clouds))
     query_masks = jnp.asarray(np.stack(q_masks))
 
