@@ -37,9 +37,13 @@ PAD_KEY = np.int32(2**31 - 1)
 # Packed bucket-table word: row start in the high 20 bits, bucket length in
 # the low 12. Limits (validated at build; builds beyond them fall back to the
 # in-cell binary search): 2^20 rows per DB, 4095 rows per (cell, code) bucket.
-BUCKET_START_SHIFT = 12
-BUCKET_LEN_MASK = (1 << BUCKET_START_SHIFT) - 1
-MAX_TABLE_ROWS = 1 << (32 - BUCKET_START_SHIFT)
+# Direct bucket table rows: word 0 = start row, word 1 = bucket length —
+# a (T, 2) uint32 table gathered as one 8-byte slice per probe (same
+# per-row gather economics as packed2). No packing limits below 2^31 rows;
+# the former single-word (start << 12 | len) layout capped the table at
+# 2^20 rows and 4095-deep buckets, knocking scale-sized DBs (10M+ rows)
+# back to the 16-step bisection path.
+MAX_TABLE_ROWS = 1 << 31
 
 
 class DescriptorDB(NamedTuple):
@@ -69,9 +73,9 @@ class DescriptorDB(NamedTuple):
     latency bottleneck — 16 dependent gathers). Empty when the DB exceeds
     the packing limits (search falls back to bisection):
 
-    bucket_table: (T,) uint32 — packed (row_start << 12 | length) of the
+    bucket_table: (T, 2) uint32 — (row_start, length) of the
                   (dense_cell, dense_code) bucket at slot
-                  dense_cell * table_stride + dense_code; 0 = empty bucket.
+                  dense_cell * table_stride + dense_code; (0, 0) = empty.
     cell_remap:   (extent^3,) int32 — quantised cell -> dense cell id, -1
                   when the cell holds no rows.
     code_remap:   (2197,) int32 — label-code -> dense code id, -1 when the
@@ -118,8 +122,8 @@ class DBBuildReport:
     max_bucket: int
     # Rows beyond ``bucket_cap`` in their bucket: probes will not see them.
     rows_beyond_cap: int
-    # Max rows sharing one quantised cell (bounds the in-cell binary search;
-    # the probe search unrolls 16 steps = 65536 rows/cell).
+    # Max rows sharing one quantised cell (the in-cell binary search's
+    # depth scales as log2 of the table length, so this is diagnostic only).
     max_cell_bucket: int = 0
 
     def truncated_fraction(self) -> float:
@@ -218,12 +222,8 @@ def build_database_stacked(
         _, ccounts = np.unique(cells, return_counts=True)
         n_cells = int(ccounts.size)
         max_cell = int(ccounts.max())
-        if max_cell > 65536:
-            raise ValueError(
-                f"a quantised cell holds {max_cell} rows (> 65536); the "
-                "probe's unrolled in-cell binary search cannot cover it — "
-                "use a finer std_side_resolution"
-            )
+        # No per-cell ceiling: the bisection fallback sizes its step count
+        # from the static table length (search._bucket_lookup).
     else:
         max_bucket, beyond, n_cells, max_cell = 0, 0, 0, 0
 
@@ -304,21 +304,21 @@ def _build_bucket_table_np(
     """Direct-addressed (dense_cell, dense_code) -> packed (start, len) table.
 
     ``keys`` are the sorted real (unpadded) row keys. Returns zero-size
-    arrays when the DB exceeds the packing limits (start 20 bits / len 12
-    bits / table budget) — search then falls back to in-cell bisection.
+    arrays when the DB exceeds the limits (2^31 rows / table budget) —
+    search then falls back to in-cell bisection.
     """
     empty = (
-        np.zeros(0, np.uint32),
+        np.zeros((0, 2), np.uint32),
         np.zeros(0, np.int32),
         np.zeros(0, np.int32),
         np.zeros(1, np.int32),
     )
-    if m_pad >= MAX_TABLE_ROWS or max_bucket > BUCKET_LEN_MASK:
+    if m_pad >= MAX_TABLE_ROWS:
         return empty
     n_cells_total = extent * extent * extent
     if keys.size == 0:
         return (
-            np.zeros(table_slots, np.uint32),
+            np.zeros((table_slots, 2), np.uint32),
             np.full(n_cells_total, -1, np.int32),
             np.full(_N_CODES, -1, np.int32),
             np.ones(1, np.int32),
@@ -335,11 +335,10 @@ def _build_bucket_table_np(
     cell_remap[used_cells] = np.arange(used_cells.size, dtype=np.int32)
     code_remap = np.full(_N_CODES, -1, np.int32)
     code_remap[used_codes] = np.arange(stride, dtype=np.int32)
-    table = np.zeros(table_slots, np.uint32)
+    table = np.zeros((table_slots, 2), np.uint32)
     slots = cell_remap[ucells].astype(np.int64) * stride + code_remap[ucodes]
-    table[slots] = (starts.astype(np.uint32) << BUCKET_START_SHIFT) | counts.astype(
-        np.uint32
-    )
+    table[slots, 0] = starts.astype(np.uint32)
+    table[slots, 1] = counts.astype(np.uint32)
     return table, cell_remap, code_remap, np.asarray([stride], np.int32)
 
 

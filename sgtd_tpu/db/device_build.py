@@ -23,8 +23,6 @@ import numpy as np
 
 from sgtd_tpu.config import DescriptorConfig
 from sgtd_tpu.db.database import (
-    BUCKET_LEN_MASK,
-    BUCKET_START_SHIFT,
     DBBuildReport,
     DescriptorDB,
     MAX_TABLE_ROWS,
@@ -132,14 +130,14 @@ def _assemble(
         .set(cgroup.astype(jnp.int32), mode="drop")
     )
     rowi = jnp.arange(m, dtype=jnp.uint32)
-    blen = jnp.minimum(counts[jnp.maximum(group, 0)], BUCKET_LEN_MASK)
-    word = (rowi << BUCKET_START_SHIFT) | blen.astype(jnp.uint32)
+    blen = counts[jnp.maximum(group, 0)].astype(jnp.uint32)
+    word2 = jnp.stack([rowi, blen], axis=-1)  # (m, 2)
     dcode = code_remap[jnp.clip(codes, 0, _N_CODES - 1)]
     slot = jnp.where(
         is_first & valid_s, cgroup * stride + dcode, jnp.int32(table_slots)
     )
     bucket_table = (
-        jnp.zeros(table_slots, jnp.uint32).at[slot].set(word, mode="drop")
+        jnp.zeros((table_slots, 2), jnp.uint32).at[slot].set(word2, mode="drop")
     )
 
     db = DescriptorDB(
@@ -175,20 +173,13 @@ def build_database_on_device(
     n_rows, n_buckets, max_bucket, n_cells, max_cell, stride = (
         int(x) for x in np.asarray(stats)
     )
-    if max_cell > 65536:
-        raise ValueError(
-            f"a quantised cell holds {max_cell} rows (> 65536); the probe's "
-            "in-cell binary search cannot cover it"
-        )
+    # (No per-cell capacity ceiling: the bisection fallback sizes its step
+    # count from the static table length, search._bucket_lookup.)
     # Direct-table packing limits: fall back to bisection when exceeded.
     m_pad = db.keys.shape[0]
-    if (
-        m_pad >= MAX_TABLE_ROWS
-        or max_bucket > BUCKET_LEN_MASK
-        or n_cells * stride > table_slots
-    ):
+    if m_pad >= MAX_TABLE_ROWS or n_cells * stride > table_slots:
         db = db._replace(
-            bucket_table=jnp.zeros(0, jnp.uint32),
+            bucket_table=jnp.zeros((0, 2), jnp.uint32),
             cell_remap=jnp.zeros(0, jnp.int32),
             code_remap=jnp.zeros(0, jnp.int32),
         )

@@ -33,11 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from sgtd_tpu.config import CapacityConfig, DescriptorConfig, SearchConfig
-from sgtd_tpu.db.database import (
-    BUCKET_LEN_MASK,
-    BUCKET_START_SHIFT,
-    DescriptorDB,
-)
+from sgtd_tpu.db.database import DescriptorDB
 from sgtd_tpu.desc.keys import probe_cells, _N_CODES
 from sgtd_tpu.desc.triangles import Descriptors
 import numpy as np
@@ -116,10 +112,10 @@ def _bucket_lookup(
     """(start, end) row range of each (cell, code) probe bucket.
 
     Fast path: the DB's direct-addressed bucket table — three independent
-    gathers (cell remap, code remap, packed range word). Fallback (DB beyond
-    the 20-bit-row / 12-bit-length packing limits): the sequential in-cell
-    binary search over the sorted codes (16 dependent gathers — measured
-    ~4x slower at bench scale; kept for unbounded generality).
+    gathers (cell remap, code remap, one (start, len) 8-byte slice).
+    Fallback (DB beyond 2^31 rows or the table-slot budget): the sequential
+    in-cell binary search over the sorted codes (16 dependent gathers —
+    measured ~4x slower at bench scale; kept for unbounded generality).
 
     With ``row_offset`` the returned ranges are clipped into this shard's
     local rows (ranges are stored globally; a bucket split across shards is
@@ -131,9 +127,9 @@ def _bucket_lookup(
         dk = db.code_remap[jnp.clip(code, 0, db.code_remap.shape[0] - 1)]
         ok = probe_ok & (dc >= 0) & (dk >= 0)[..., None]
         idx = jnp.where(ok, dc * db.table_stride[0] + dk[..., None], 0)
-        word = db.bucket_table[idx]
-        start = (word >> BUCKET_START_SHIFT).astype(jnp.int32)
-        end = start + jnp.where(ok, (word & BUCKET_LEN_MASK).astype(jnp.int32), 0)
+        word2 = db.bucket_table[idx]  # (..., 2): one 8B slice gather
+        start = word2[..., 0].astype(jnp.int32)
+        end = start + jnp.where(ok, word2[..., 1].astype(jnp.int32), 0)
         if row_offset is not None:
             start = jnp.clip(start - row_offset, 0, m_rows)
             end = jnp.clip(end - row_offset, 0, m_rows)
@@ -158,12 +154,15 @@ def _bucket_lookup(
             hi = jnp.where(active & ~go_right, mid, hi)
             return lo, hi
 
-        # 16 bisection steps cover cells up to 65536 rows (enforced at DB
-        # build). Rolled loop: an unrolled gather chain sends XLA:CPU
-        # compilation into the weeds (>minutes); TPU is fine either way.
+        # Step count derived from the static table size: ceil(log2(M))
+        # covers any cell (a cell cannot hold more rows than the table) —
+        # no fixed per-cell capacity ceiling. Rolled loop: an unrolled
+        # gather chain sends XLA:CPU compilation into the weeds
+        # (>minutes); TPU is fine either way.
+        steps = max(int(np.ceil(np.log2(max(m_rows, 2)))), 1)
         lo2 = jnp.broadcast_to(cs, (2,) + cs.shape)
         hi2 = jnp.broadcast_to(ce, (2,) + ce.shape)
-        lo2, _ = jax.lax.fori_loop(0, 16, step, (lo2, hi2))
+        lo2, _ = jax.lax.fori_loop(0, steps, step, (lo2, hi2))
         start, end = lo2[0], lo2[1]
         ok = probe_ok
     return start, end, ok

@@ -2,7 +2,7 @@
 
 The probe stage's fast path (db.bucket_table, built at DB assembly) must
 return bit-identical votes and hit lists to the binary-search fallback used
-for DBs beyond the 20-bit-row / 12-bit-length packing limits.
+for DBs beyond the table limits (2^31 rows / slot budget).
 """
 
 import numpy as np
@@ -12,8 +12,6 @@ import pytest
 
 from sgtd_tpu.data.synthetic import make_map_and_queries
 from sgtd_tpu.db.database import (
-    BUCKET_LEN_MASK,
-    BUCKET_START_SHIFT,
     build_database,
     save_database,
     load_database,
@@ -41,7 +39,7 @@ def setup(small_config):
 
 def _without_table(db):
     return db._replace(
-        bucket_table=jnp.zeros(0, jnp.uint32),
+        bucket_table=jnp.zeros((0, 2), jnp.uint32),
         cell_remap=jnp.zeros(0, jnp.int32),
         code_remap=jnp.zeros(0, jnp.int32),
     )
@@ -65,9 +63,9 @@ def test_host_build_has_table(setup):
         dc = cell_remap[k // 2197]
         dk = code_remap[k % 2197]
         assert dc >= 0 and dk >= 0
-        word = table[dc * stride + dk]
-        assert int(word >> BUCKET_START_SHIFT) == s
-        assert int(word & BUCKET_LEN_MASK) == c
+        start, length = table[dc * stride + dk]
+        assert int(start) == s
+        assert int(length) == c
 
 
 def test_probe_parity_table_vs_bisection(setup):
