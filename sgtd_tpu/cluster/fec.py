@@ -54,6 +54,14 @@ def fec_cluster(
     points (N, 3) float32 padded; mask (N,) bool; tolerance: radius in
     metres (ref FEC.h radiusSearch tolorance); min_component_size: minimum
     cluster size (ref :36); max_n: neighbour cap (ref :64).
+
+    ``max_n`` caveat: when a point's ``max_n`` nearest neighbours all lie
+    inside a dense local clump, bridging radius edges beyond them are lost
+    and a true radius-graph component can split (the reference's sequential
+    sweep merges labels retroactively, so its cap binds less often). For
+    dense instance clouds raise ``max_n`` above the expected local clump
+    size — tests/test_fec.py::test_max_n_binds_on_dense_elongated_cluster
+    demonstrates both regimes.
     """
     n = points.shape[0]
     pts_eff = jnp.where(mask[:, None], points, jnp.float32(1e6))

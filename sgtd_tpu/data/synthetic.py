@@ -139,6 +139,191 @@ def make_map_and_queries(
     return map_graphs, query_graphs, world
 
 
+@dataclasses.dataclass
+class HardWorld(SyntheticWorld):
+    """Aliased Manhattan-grid world with planar surface geometry.
+
+    The plain :class:`SyntheticWorld` (uniform instances, blob clouds)
+    saturates the SR gate at 1.0 and its clouds carry a GICP noise floor
+    (BENCH_NOTES r3 ablation) — no accuracy discrimination. This world is
+    built so both failure axes exist (VERDICT r3 next-#3):
+
+      * a small set of block MOTIFS tiles a street grid, so distinct
+        locations produce near-identical triangle descriptors (the
+        aliasing regime of the reference's real datasets — repeated
+        urban structure) and descriptor SR lands below 1.0 at matched
+        noise levels;
+      * every instance carries a deterministic planar panel (vertical
+        wall segment + ground plane), so map and query clouds are
+        independent samplings of the SAME surfaces — GICP refinement has
+        a true optimum at the relative pose and IMPROVES the pose, unlike
+        the blob clouds where it adds noise.
+
+    instance_yaw/instance_size parameterise each instance's panel; they are
+    world properties (not per-observation), so clouds rendered from any two
+    poses are consistent.
+    """
+
+    instance_yaw: np.ndarray = None  # (M,) panel heading
+    instance_size: np.ndarray = None  # (M, 2) panel width, height
+
+
+def make_hard_world(
+    rng: np.random.Generator,
+    n_motifs: int = 2,
+    grid: Tuple[int, int] = (6, 6),
+    block_m: float = 45.0,
+    instances_per_block: int = 22,
+    motif_jitter_m: float = 0.05,
+    num_map_frames: int = 200,
+    num_queries: int = 64,
+    query_offset_m: float = 3.0,
+    query_heading_sd: float = 0.15,
+) -> HardWorld:
+    """Tile ``grid`` city blocks from ``n_motifs`` repeated layouts.
+
+    Fewer motifs => more aliasing (more distinct places that look alike to
+    a triangle-descriptor matcher). The map trajectory is a serpentine
+    along the street lines; queries revisit random points on it with
+    lateral/heading offsets.
+    """
+    gx, gy = grid
+    motifs = []
+    for _ in range(n_motifs):
+        k = instances_per_block
+        pos = np.column_stack(
+            [
+                rng.uniform(4.0, block_m - 4.0, k),
+                rng.uniform(4.0, block_m - 4.0, k),
+                rng.uniform(0.5, 3.0, k),
+            ]
+        )
+        lab = rng.choice(
+            NODE_LABELS, size=k, p=LABEL_WEIGHTS / LABEL_WEIGHTS.sum()
+        )
+        yaw = rng.uniform(0.0, np.pi, k)
+        size = np.column_stack(
+            [rng.uniform(3.0, 8.0, k), rng.uniform(2.5, 6.0, k)]
+        )
+        motifs.append((pos, lab, yaw, size))
+
+    xyz, labels, yaws, sizes = [], [], [], []
+    for bx in range(gx):
+        for by in range(gy):
+            pos, lab, yaw, size = motifs[int(rng.integers(n_motifs))]
+            off = np.array([bx * block_m, by * block_m, 0.0])
+            xyz.append(pos + off + rng.normal(0, motif_jitter_m, pos.shape))
+            labels.append(lab)
+            yaws.append(yaw)
+            sizes.append(size)
+    xyz = np.concatenate(xyz).astype(np.float32)
+    labels = np.concatenate(labels)
+    yaws = np.concatenate(yaws).astype(np.float32)
+    sizes = np.concatenate(sizes).astype(np.float32)
+
+    # Serpentine trajectory along the horizontal street lines y = by*block_m.
+    way = []
+    for by in range(gy):
+        y = by * block_m
+        xs = (0.0, gx * block_m) if by % 2 == 0 else (gx * block_m, 0.0)
+        way.append((xs[0], y))
+        way.append((xs[1], y))
+    way = np.asarray(way, dtype=np.float64)
+    seg = np.diff(way, axis=0)
+    seg_len = np.linalg.norm(seg, axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = cum[-1]
+
+    def pose_at(s: float, lateral: float = 0.0, dyaw: float = 0.0):
+        s = np.clip(s, 0.0, total - 1e-6)
+        i = int(np.searchsorted(cum, s, side="right") - 1)
+        i = min(i, len(seg) - 1)
+        t = (s - cum[i]) / max(seg_len[i], 1e-9)
+        p = way[i] + t * seg[i]
+        yaw = np.arctan2(seg[i][1], seg[i][0])
+        n = np.array([-np.sin(yaw), np.cos(yaw)])
+        p = p + lateral * n
+        return _pose_2d(p[0], p[1], yaw + dyaw)
+
+    map_poses = np.stack(
+        [pose_at(s) for s in np.linspace(0, total, num_map_frames, endpoint=False)]
+    )
+    query_poses = np.stack(
+        [
+            pose_at(
+                rng.uniform(0, total),
+                lateral=rng.normal(0, query_offset_m),
+                dyaw=rng.normal(0, query_heading_sd),
+            )
+            for _ in range(num_queries)
+        ]
+    )
+    return HardWorld(
+        instance_xyz=xyz,
+        instance_label=labels,
+        map_poses=map_poses,
+        query_poses=query_poses,
+        instance_yaw=yaws,
+        instance_size=sizes,
+    )
+
+
+def render_planar_cloud(
+    world: HardWorld,
+    pose: np.ndarray,
+    rng: np.random.Generator,
+    max_points: int = 4096,
+    points_per_instance: int = 48,
+    view_radius_m: float = 50.0,
+    noise_m: float = 0.02,
+):
+    """Sample a LiDAR-like cloud from the world's DETERMINISTIC surfaces.
+
+    Each visible instance contributes points on its vertical panel (fixed
+    world-frame position/heading/size), plus a shared ground plane — map
+    and query renders are independent samplings of the same geometry, so
+    registration has a true optimum (unlike :func:`render_cloud`'s blobs).
+    Returns (points (max_points, 3) float32, mask (max_points,) bool) in
+    the sensor frame.
+    """
+    Tinv = np.linalg.inv(pose)
+    local = (world.instance_xyz @ Tinv[:3, :3].T) + Tinv[:3, 3]
+    vis = np.nonzero(np.linalg.norm(local[:, :2], axis=1) < view_radius_m)[0]
+    pts_w = []
+    for i in vis:
+        c = world.instance_xyz[i]
+        yaw = float(world.instance_yaw[i])
+        w, h = world.instance_size[i]
+        d = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+        u = rng.uniform(-0.5 * w, 0.5 * w, points_per_instance)
+        v = rng.uniform(0.0, h, points_per_instance)
+        p = c[None, :] + u[:, None] * d[None, :]
+        p[:, 2] = v
+        pts_w.append(p)
+    n_ground = max_points // 4
+    g_local = np.column_stack(
+        [
+            rng.uniform(-view_radius_m, view_radius_m, n_ground),
+            rng.uniform(-view_radius_m, view_radius_m, n_ground),
+            np.zeros(n_ground),
+        ]
+    )
+    g_world = (g_local @ pose[:3, :3].T) + pose[:3, 3]
+    g_world[:, 2] = 0.0
+    pts_w.append(g_world)
+    cloud_w = np.concatenate(pts_w)
+    cloud = (cloud_w @ Tinv[:3, :3].T) + Tinv[:3, 3]
+    cloud = (cloud + rng.normal(0, noise_m, cloud.shape)).astype(np.float32)
+    if len(cloud) > max_points:
+        stride = -(-len(cloud) // max_points)
+        cloud = cloud[::stride]
+    out = np.zeros((max_points, 3), np.float32)
+    mask = np.zeros(max_points, bool)
+    out[: len(cloud)] = cloud
+    mask[: len(cloud)] = True
+    return out, mask
+
+
 def render_cloud(
     world: SyntheticWorld,
     pose: np.ndarray,

@@ -351,8 +351,19 @@ def tuned_config(config, report: DBBuildReport):
     return config.replace(caps=caps)
 
 
+# On-disk .npz format version. Version 2 = the packed2/(T, 2)-bucket-table
+# layout (round 3); files written before the version tag existed (and before
+# the layout change) fail loading with a clear rebuild message instead of a
+# bare KeyError (ADVICE r3).
+DB_FORMAT_VERSION = 2
+
+
 def save_database(path: str, db: DescriptorDB) -> None:
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in db._asdict().items()})
+    np.savez_compressed(
+        path,
+        format_version=np.int32(DB_FORMAT_VERSION),
+        **{k: np.asarray(v) for k, v in db._asdict().items()},
+    )
 
 
 _FIELD_DEFAULTS = {
@@ -365,6 +376,17 @@ _FIELD_DEFAULTS = {
 
 def load_database(path: str) -> DescriptorDB:
     z = np.load(path)
+    version = int(z["format_version"]) if "format_version" in z else 1
+    missing = [
+        k for k in DescriptorDB._fields if k not in z and k not in _FIELD_DEFAULTS
+    ]
+    if version != DB_FORMAT_VERSION or missing:
+        raise ValueError(
+            f"{path}: descriptor-DB file format v{version} "
+            f"(missing fields: {missing or 'none'}) is incompatible with "
+            f"this build (v{DB_FORMAT_VERSION}, packed2/(T,2)-table layout) "
+            "— rebuild the map DB with `sgtd_tpu build-map` / save_database"
+        )
     return DescriptorDB(
         **{
             k: jnp.asarray(z[k] if k in z else _FIELD_DEFAULTS[k])

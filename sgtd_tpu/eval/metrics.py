@@ -101,4 +101,6 @@ class EvalAccumulator:
             "recall_at_1": float(self.recall_at[0]) / max(self.total, 1),
             "recall_at_5": float(self.recall_at[min(4, len(self.recall_at) - 1)])
             / max(self.total, 1),
+            "recall_at_10": float(self.recall_at[min(9, len(self.recall_at) - 1)])
+            / max(self.total, 1),
         }

@@ -190,8 +190,15 @@ def probe_and_hits(
     """
     d_max = query.sides.shape[0]
     # The packed (desc << 15 | side_c) expansion below needs desc ids to fit
-    # 16 bits alongside the 15-bit side without int32 overflow.
-    assert d_max <= 1 << 16, "max_descriptors beyond the packed-expansion bound"
+    # 16 bits alongside the 15-bit side without int32 overflow. Static-shape
+    # check at trace time; a plain assert would vanish under `python -O`
+    # and overflow silently (ADVICE r3).
+    if d_max > 1 << 16:
+        raise ValueError(
+            f"caps.max_descriptors={d_max} exceeds the packed-expansion "
+            "bound (65536): descriptor ids must fit 16 bits alongside the "
+            "15-bit fixed-point side in one int32 word"
+        )
 
     m_rows = db.keys.shape[0]
 

@@ -1,5 +1,6 @@
 """Schur-complement bundle adjustment on synthetic landmark problems."""
 
+import pytest
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -193,6 +194,7 @@ def test_ba_sharded_matches_cg(rng):
     np.testing.assert_allclose(costs_s, costs_d, rtol=1e-3, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_ba_cg_large_scale(rng):
     # 5000 keyframes: the dense reduced system would be (30000)^2 floats
     # (3.6 GB) — the matrix-free path never forms it (VERDICT round-1 #6).

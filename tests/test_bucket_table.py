@@ -144,3 +144,20 @@ def test_save_load_roundtrip_with_table(setup, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(db.bucket_table), np.asarray(db2.bucket_table)
     )
+
+
+def test_load_old_format_raises_clear_error(setup, tmp_path):
+    """Pre-packed2 (v1) DB files fail with a 'rebuild' message, not a bare
+    KeyError (ADVICE r3)."""
+    import pytest
+
+    _, db, _, _ = setup
+    p = str(tmp_path / "old.npz")
+    fields = {k: np.asarray(v) for k, v in db._asdict().items()}
+    # Simulate the round-2 layout: no version tag, split packed words.
+    del fields["packed2"]
+    fields["packed_lo"] = np.zeros(db.keys.shape[0], np.uint32)
+    fields["packed_hi"] = np.zeros(db.keys.shape[0], np.uint32)
+    np.savez_compressed(p, **fields)
+    with pytest.raises(ValueError, match="rebuild"):
+        load_database(p)

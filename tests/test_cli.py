@@ -130,6 +130,7 @@ def _render_labeled(world, pose, rng, ppi=40, n_ground=400, view_radius=50.0):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", ["gicp", "vgicp"])
 def test_cli_gicp_end_to_end(tmp_path, capsys, engine):
     """The headline configuration from raw files: build-map on .bin/.label

@@ -93,3 +93,31 @@ def test_empty_mask():
     )
     assert np.all(np.asarray(res.labels) == -1)
     assert np.all(np.asarray(res.counts) == 0)
+
+
+def test_max_n_binds_on_dense_elongated_cluster(rng):
+    """Documents the bounded-degree approximation (ADVICE r3): in a dense
+    elongated cluster whose clumps each hold more than max_n points, all of
+    a point's max_n nearest neighbours can lie inside its own clump, so the
+    k-bounded graph loses the bridging radius edges and the component
+    splits. Raising max_n to cover the local density recovers the exact
+    radius-graph component (scipy single-linkage agreement)."""
+    # 8 dense clumps of 32 points (sigma 0.05 m) spaced 0.5 m along x;
+    # tolerance 0.6 m connects adjacent clumps in the exact radius graph.
+    centers = np.array([[0.5 * i, 0.0, 0.0] for i in range(8)])
+    pts = _blobs(rng, centers, 32, spread=0.05)
+    n = 256
+    cloud = np.zeros((n, 3), np.float32)
+    m = np.zeros(n, bool)
+    cloud[: len(pts)] = pts
+    m[: len(pts)] = True
+
+    # max_n=16 < clump size: the neighbour cap binds and the cluster splits.
+    res16 = fec_cluster(jnp.asarray(cloud), jnp.asarray(m), 0.6, 10, max_n=16)
+    n16 = int((np.asarray(res16.counts) > 0).sum())
+    assert n16 > 1
+
+    # max_n=64 > clump size: one component, matching the radius graph.
+    res64 = fec_cluster(jnp.asarray(cloud), jnp.asarray(m), 0.6, 10, max_n=64)
+    labels = np.asarray(res64.labels)[m]
+    assert (labels == labels[0]).all() and labels[0] >= 0

@@ -121,6 +121,7 @@ def test_device_build_matches_host_build(world_setup):
     )
 
 
+@pytest.mark.slow
 def test_append_database(world_setup):
     """Incremental append == full rebuild over the same keyframes."""
     import jax
@@ -149,6 +150,7 @@ def test_append_database(world_setup):
     )
 
 
+@pytest.mark.slow
 def test_frame_major_pair_extraction(world_setup):
     """The optional exact (candidate-major) pair pass agrees with the
     default per-descriptor-capped path on candidate scoring."""

@@ -8,11 +8,13 @@ tests (test_sharded_match.py) cannot (SURVEY.md section 2.3; round-1
 VERDICT missing #6).
 """
 
+import pytest
 import os
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_two_process_multicontroller_matches_single():
     script = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

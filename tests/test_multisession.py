@@ -57,6 +57,7 @@ def test_session_correction(setup):
     assert max(errs) < 1.0, (errs, end_before)
 
 
+@pytest.mark.slow
 def test_session_no_map_overlap_keeps_odometry(setup):
     cfg, world, db, rng = setup
     # A session far outside the map: no loops; odometry passes through.

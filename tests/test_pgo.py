@@ -1,5 +1,6 @@
 """Pose-graph optimization: drift correction with loop closures."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -111,6 +112,7 @@ def test_pgo_cg_matches_dense(rng):
     np.testing.assert_allclose(mfree[:, :3, :3], dense[:, :3, :3], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pgo_cg_large_graph(rng):
     """4096-node graph: the dense path would need a (24576)^2 Hessian
     (2.4 GB f32); the matrix-free path solves it comfortably."""

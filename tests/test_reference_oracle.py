@@ -38,6 +38,16 @@ from sgtd_tpu.match.verify import verify_candidates
 
 N_SCENES = 8  # randomized worlds per test (seeds are fixed -> deterministic)
 
+# Seed 0 of each parity family runs in the default (fast) suite; the other
+# scenes are randomized replicas of the same property and run under -m slow
+# (VERDICT r3 next-#9: keep a <3-minute default path).
+PARITY_SEEDS = [0] + [
+    pytest.param(s, marks=pytest.mark.slow) for s in range(1, N_SCENES)
+]
+PARITY_SEEDS_2 = [0] + [
+    pytest.param(s, marks=pytest.mark.slow) for s in range(2, N_SCENES, 2)
+]
+
 CFG = SGTDConfig().replace(
     desc=DescriptorConfig(near_num=10, min_len=0.5, max_len=50.0,
                           side_resolution=1.0),
@@ -123,7 +133,7 @@ def _q1000(sides):
 # ---------------------------------------------------------------- descriptors
 
 
-@pytest.mark.parametrize("seed", range(N_SCENES))
+@pytest.mark.parametrize("seed", PARITY_SEEDS)
 def test_descriptor_build_parity(seed):
     """build_descriptors == BuildSingleScanSTD, elementwise and in order."""
     frames, (qpts, qlabels), _ = _scene(seed)
@@ -154,7 +164,7 @@ def test_descriptor_build_parity(seed):
 # ---------------------------------------------------------------- vote search
 
 
-@pytest.mark.parametrize("seed", range(N_SCENES))
+@pytest.mark.parametrize("seed", PARITY_SEEDS)
 def test_vote_and_candidate_parity(seed):
     """Per-frame vote tallies, candidate list, and match-pair lists match the
     oracle exactly (fixed-point rough filter mirrored on both sides)."""
@@ -211,7 +221,7 @@ def test_vote_and_candidate_parity(seed):
 # ---------------------------------------------------------------- verify
 
 
-@pytest.mark.parametrize("seed", range(N_SCENES))
+@pytest.mark.parametrize("seed", PARITY_SEEDS)
 def test_verify_parity(seed):
     """Verify scores and inlier sets match the oracle exactly; the polished
     pose stays within the noise bound of the oracle's one-pair SVD pose."""
@@ -276,7 +286,7 @@ def test_verify_parity_zero_noise():
 # ---------------------------------------- exact-fallback pair path (r3 #8)
 
 
-@pytest.mark.parametrize("seed", range(0, N_SCENES, 2))
+@pytest.mark.parametrize("seed", PARITY_SEEDS_2)
 def test_pairs_by_frame_oracle_parity(seed):
     """extract_pairs_by_frame (the exact fallback's candidate-major pair
     pass) yields exactly the oracle's match-pair SETS per candidate."""
@@ -316,6 +326,7 @@ def test_pairs_by_frame_oracle_parity(seed):
 # ------------------------------- truncation-active / near_num!=10 coverage
 
 
+@pytest.mark.slow
 def test_descriptor_truncation_parity():
     """With caps.max_descriptors BINDING, the kept set must be exactly the
     oracle's first d_max descriptors (insertion order = the reference's
@@ -366,6 +377,7 @@ def test_descriptor_truncation_parity():
         assert np.asarray(cand.votes)[k] == vote
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("near", [5, 15])
 def test_near_num_parity(near):
     """Full vote/candidate/verify parity at near_num != 10 (VERDICT r2 weak
@@ -412,6 +424,7 @@ def test_near_num_parity(near):
 # ------------------------------------------------- deviation-impact bounds
 
 
+@pytest.mark.slow
 def test_fixed_point_filter_drift_bound():
     """The 1/256 fixed-point rough filter (production) vs the reference's
     float compare: vote flips must be rare and never change the best frame."""
@@ -433,6 +446,7 @@ def test_fixed_point_filter_drift_bound():
     assert flipped <= max(2, 0.005 * total_votes), (flipped, total_votes)
 
 
+@pytest.mark.slow
 def test_float32_vs_float64_drift_bound():
     """float32 descriptor arithmetic (production) vs the reference's double:
     descriptor-count drift stays under 1% and localization is unchanged."""

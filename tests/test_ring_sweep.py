@@ -16,6 +16,7 @@ from sgtd_tpu.parallel.mesh import shard_database
 from sgtd_tpu.parallel.ring_sweep import make_ring_localizer
 
 
+@pytest.mark.slow
 def test_ring_sweep_matches_single_device(small_config):
     cfg = small_config
     map_graphs, query_graphs, world = make_map_and_queries(

@@ -39,7 +39,14 @@ def _stack_graphs(graphs):
     )
 
 
-@pytest.mark.parametrize("dp,dbx", [(1, 8), (2, 4), (8, 1)])
+@pytest.mark.parametrize(
+    "dp,dbx",
+    [
+        pytest.param(1, 8, marks=pytest.mark.slow),
+        pytest.param(2, 4, marks=pytest.mark.slow),
+        (8, 1),  # fast-path representative of sharded exactness
+    ],
+)
 def test_sharded_matches_single_device(setup, dp, dbx):
     cfg, _, query_graphs, db = setup
     assert len(jax.devices()) == 8
@@ -70,6 +77,7 @@ def test_sharded_matches_single_device(setup, dp, dbx):
             assert t_err < 2.0 and r_err < 5.0, (t_err, r_err)
 
 
+@pytest.mark.slow
 def test_sharded_recall(setup):
     cfg, _, query_graphs, db = setup
     mesh = make_mesh(dp=2, db=4)

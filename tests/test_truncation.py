@@ -51,6 +51,7 @@ def test_untruncated_query_reports_zero(world):
     assert int(res.truncated) == 0
 
 
+@pytest.mark.slow
 def test_scan_overflow_flagged_and_fallback_recovers_votes(world):
     cfg, db, queries = world
     g = queries[0]

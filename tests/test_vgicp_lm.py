@@ -79,8 +79,14 @@ def test_voxel_map_multiplicative(world):
         np.testing.assert_allclose(mean[j], ref_cov @ s, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("ns,opt", [("direct1", "gn"), ("direct7", "lm"),
-                                    ("direct27", "gn")])
+@pytest.mark.parametrize(
+    "ns,opt",
+    [
+        ("direct1", "gn"),  # fast-path representative
+        pytest.param("direct7", "lm", marks=pytest.mark.slow),
+        pytest.param("direct27", "gn", marks=pytest.mark.slow),
+    ],
+)
 def test_vgicp_recovers_offset(world, ns, opt):
     tgt, mask, _, _ = world
     n = tgt.shape[0]
@@ -124,6 +130,7 @@ def test_vgicp_rerank_picks_true_candidate(world, rng):
     assert np.linalg.norm(T[:3, 3] - T_true[:3, 3]) < 0.05
 
 
+@pytest.mark.slow
 def test_vgicp_rerank_prebuilt_vmaps_match(world, rng):
     """The prebuilt-voxel-map fast path (build once at map load, gather per
     candidate) must produce the same transforms/fitness as the per-call

@@ -15,6 +15,7 @@ small DB, and that DB with its frame axis padded beyond 65536 (extra frames
 invalid). Every result field must be identical.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ def _widen_frames(db, f_wide):
     return db._replace(frame_poses=fp, frame_valid=fv, frame_start=fs)
 
 
+@pytest.mark.slow
 def test_wide_frame_db_end_to_end(small_config):
     cfg = small_config
     maps, queries, _ = make_map_and_queries(

@@ -1,0 +1,187 @@
+"""Accuracy-discriminating evaluation on the aliased hard world.
+
+VERDICT r3 next-#3: the plain synthetic bench saturates SR at 1.000, so no
+accuracy regression is detectable, and its blob clouds give GICP a noise
+floor (refinement WORSENS RMSE there). This harness runs the full
+reference-style table (SR_5 / RMSE_P / RMSE_R / Recall@1/5/10 / ms per
+query — the readme.txt:294-313 columns) on `data.synthetic.make_hard_world`:
+repeated block motifs alias the descriptor space (SR lands in the
+reference's 0.90-0.98 regime) and deterministic planar surfaces give GICP a
+true optimum (refined RMSE < descriptor RMSE).
+
+Runs descriptor-only and GICP-refined configurations through
+eval.runner.evaluate (the reference-node analog), then checks pipeline
+found/best-frame agreement against the NumPy reference oracle on a query
+subsample. Writes HARD_EVAL_r04.json; summarized in BENCH_NOTES.md.
+
+Run:  timeout 1150 python -u tools/hard_eval.py [num_map] [num_q]
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    from sgtd_tpu import SGTDConfig
+    from sgtd_tpu.config import GicpConfig
+    from sgtd_tpu.data.synthetic import (
+        make_hard_world,
+        observe,
+        render_planar_cloud,
+    )
+    from sgtd_tpu.eval.runner import build_map_index, evaluate
+
+    num_map = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    num_q = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    rng = np.random.default_rng(411)
+    cfg = SGTDConfig()
+
+    t0 = time.time()
+    world = make_hard_world(
+        rng, num_map_frames=num_map, num_queries=num_q
+    )
+    # Map side: clean-ish observations (the reference builds maps from
+    # predicted labels too, but with local-map densification smoothing).
+    maps = [observe(world, p, cfg, rng, center_noise_m=0.05) for p in world.map_poses]
+    # Query side: the hard regime — heavy instance dropout, label
+    # corruption (the reference's label_deter_rate), large centroid noise
+    # so the descriptor pose has real error for GICP to remove.
+    queries = [
+        observe(
+            world, p, cfg, rng,
+            center_noise_m=0.30, dropout=0.35, label_corrupt_rate=0.20,
+        )
+        for p in world.query_poses
+    ]
+    print(f"[hard] world+graphs: {time.time()-t0:.1f}s "
+          f"({len(world.instance_xyz)} instances)", file=sys.stderr)
+
+    index = build_map_index(maps, cfg)
+    print(f"[hard] db: rows={index.report.num_rows} "
+          f"build={index.build_seconds:.1f}s", file=sys.stderr)
+
+    # --- descriptor-only table ---
+    t0 = time.time()
+    out_desc = evaluate(index, queries, batch_size=16)
+    print(f"[hard] descriptor eval: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # --- GICP-refined table (planar clouds; reference cloud prep) ---
+    gcfg = index.config.replace(
+        gicp=GicpConfig(enable=True, engine="gicp", max_points=1024)
+    )
+    index.config = gcfg
+
+    from sgtd_tpu.ops.voxel import load_query_cloud
+
+    cloud_rngs = {}
+
+    def q_fn(i):
+        pts, m = render_planar_cloud(
+            world, world.query_poses[i], np.random.default_rng(7000 + i),
+            max_points=4096,
+        )
+        return load_query_cloud(pts[m], gcfg.gicp.leaf_size, 1024)
+
+    def m_fn(fid):
+        return render_planar_cloud(
+            world, world.map_poses[fid], np.random.default_rng(8000 + fid),
+            max_points=4096,
+        )
+
+    t0 = time.time()
+    out_gicp = evaluate(
+        index, queries, batch_size=16,
+        query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=4,
+    )
+    print(f"[hard] gicp eval: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # --- oracle agreement on a subsample ---
+    n_sub = min(8, num_q)
+    agree = oracle_agreement(index, maps, queries[:n_sub], cfg)
+
+    result = {
+        "workload": {
+            "num_map": num_map, "num_q": num_q,
+            "query_center_noise_m": 0.30, "dropout": 0.35,
+            "label_corrupt_rate": 0.20, "motifs": 2,
+        },
+        "descriptor_only": out_desc,
+        "gicp_refined": out_gicp,
+        "oracle_subsample": agree,
+    }
+    with open("HARD_EVAL_r04.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+    sr = out_desc["success_rate"]
+    ok = 0.80 <= sr < 1.0
+    improve = out_gicp["rmse_trans_m"] < out_desc["rmse_trans_m"]
+    print(
+        f"[hard] SR_desc={sr:.3f} (discriminating band: {ok}) "
+        f"RMSE desc={out_desc['rmse_trans_m']:.3f} -> "
+        f"gicp={out_gicp['rmse_trans_m']:.3f} (improves: {improve}) "
+        f"oracle agree {agree['n_agree']}/{agree['n']}",
+        file=sys.stderr,
+    )
+
+
+def oracle_agreement(index, maps, queries, cfg):
+    """Pipeline vs NumPy reference-oracle SearchLoop on a query subsample.
+
+    Agreement = same found flag and (when found) same best frame. The
+    oracle replays the reference's exact semantics (eval/oracle.py), so
+    equality here pins the pipeline's accuracy to the reference's on this
+    workload (VERDICT r3 next-#3 'assert pipeline SR == oracle SR').
+    """
+    import functools
+    import jax
+
+    from sgtd_tpu.eval.oracle import OracleManager
+    from sgtd_tpu.eval.runner import stack_graphs
+    from sgtd_tpu.match.pipeline import localize
+
+    mgr = OracleManager(
+        cfg.desc, cfg.search, dtype=np.float32, fixed_point_filter=True
+    )
+    for g in maps:
+        pts = np.asarray(g.centers)[np.asarray(g.mask)]
+        labs = np.asarray(g.labels)[np.asarray(g.mask)]
+        mgr.add_stds(mgr.build(pts, labs))
+
+    loc = jax.jit(
+        jax.vmap(
+            functools.partial(localize, config=index.config),
+            in_axes=(None, 0),
+        )
+    )
+    res = loc(index.db, stack_graphs(list(queries)))
+    found = np.asarray(res.found)
+    frames = np.asarray(res.best_frame)
+
+    n_agree = 0
+    detail = []
+    for i, g in enumerate(queries):
+        pts = np.asarray(g.centers)[np.asarray(g.mask)]
+        labs = np.asarray(g.labels)[np.asarray(g.mask)]
+        best_f, best_s, _, _ = mgr.search_loop(mgr.build(pts, labs))
+        o_found = best_f >= 0
+        a = (o_found == bool(found[i])) and (
+            not o_found or best_f == int(frames[i])
+        )
+        n_agree += int(a)
+        detail.append(
+            {"q": i, "oracle_frame": int(best_f),
+             "pipeline_frame": int(frames[i]) if found[i] else -1,
+             "agree": bool(a)}
+        )
+    return {"n": len(list(queries)), "n_agree": n_agree, "detail": detail}
+
+
+if __name__ == "__main__":
+    main()
