@@ -170,10 +170,11 @@ class HardWorld(SyntheticWorld):
 
 def make_hard_world(
     rng: np.random.Generator,
-    n_motifs: int = 2,
+    n_motifs: int = 4,
     grid: Tuple[int, int] = (6, 6),
     block_m: float = 45.0,
     instances_per_block: int = 22,
+    unique_per_block: int = 5,
     motif_jitter_m: float = 0.05,
     num_map_frames: int = 200,
     num_queries: int = 64,
@@ -183,7 +184,12 @@ def make_hard_world(
     """Tile ``grid`` city blocks from ``n_motifs`` repeated layouts.
 
     Fewer motifs => more aliasing (more distinct places that look alike to
-    a triangle-descriptor matcher). The map trajectory is a serpentine
+    a triangle-descriptor matcher); ``unique_per_block`` salt instances
+    keep the regime discriminable (pure 2-motif tiling makes wrong frames
+    geometrically IDENTICAL to the right one — SR craters to ~0.3 and no
+    matcher could do better; a few unique instances per block put the true
+    frame ahead when votes are counted exactly, so failures concentrate in
+    the genuinely ambiguous queries). The map trajectory is a serpentine
     along the street lines; queries revisit random points on it with
     lateral/heading offsets.
     """
@@ -216,6 +222,30 @@ def make_hard_world(
             labels.append(lab)
             yaws.append(yaw)
             sizes.append(size)
+            u = unique_per_block
+            if u:
+                xyz.append(
+                    np.column_stack(
+                        [
+                            rng.uniform(4.0, block_m - 4.0, u),
+                            rng.uniform(4.0, block_m - 4.0, u),
+                            rng.uniform(0.5, 3.0, u),
+                        ]
+                    )
+                    + off
+                )
+                labels.append(
+                    rng.choice(
+                        NODE_LABELS, size=u,
+                        p=LABEL_WEIGHTS / LABEL_WEIGHTS.sum(),
+                    )
+                )
+                yaws.append(rng.uniform(0.0, np.pi, u))
+                sizes.append(
+                    np.column_stack(
+                        [rng.uniform(3.0, 8.0, u), rng.uniform(2.5, 6.0, u)]
+                    )
+                )
     xyz = np.concatenate(xyz).astype(np.float32)
     labels = np.concatenate(labels)
     yaws = np.concatenate(yaws).astype(np.float32)

@@ -52,8 +52,9 @@ class CandidateSet(NamedTuple):
     pair_valid: (C, P) bool.
     truncated:  () int32 bitmask — TRUNC_SCAN: the ragged probe scan
                 overflowed caps.max_scan_slots (votes may be undercounted);
-                TRUNC_PAIRS: a descriptor's hit list saturated
-                hits_per_descriptor (votes exact, pair lists clipped).
+                TRUNC_PAIRS: some descriptor had more than
+                hits_per_descriptor hits (votes exact; its pair list is
+                STRIDED-subsampled, the reference's skip_len semantics).
                 0 = the query ran within every static cap.
     """
 
@@ -68,7 +69,7 @@ class CandidateSet(NamedTuple):
 
 # Truncation bitmask values (CandidateSet.truncated / LocalizationResult).
 TRUNC_SCAN = 1  # ragged scan overflowed max_scan_slots: votes may be lost
-TRUNC_PAIRS = 2  # hits_per_descriptor saturated: pair lists clipped
+TRUNC_PAIRS = 2  # hits_per_descriptor exceeded: pair lists strided-subsampled
 
 
 class ProbeHits(NamedTuple):
@@ -78,7 +79,7 @@ class ProbeHits(NamedTuple):
     sel_row:   (D, U) int32 compacted DB row per kept hit.
     sel_frame: (D, U) int32 frame of each kept hit (F = empty slot).
     scan_overflow: () bool — probe total exceeded caps.max_scan_slots.
-    pair_overflow: () bool — some descriptor had > hits_per_descriptor hits.
+    pair_overflow: () bool — some descriptor's hits were strided-subsampled.
     """
 
     votes: jnp.ndarray
@@ -303,10 +304,24 @@ def probe_and_hits(
     hcum_ext = jnp.concatenate([jnp.zeros((1,), jnp.int32), hcum])
     before_desc = hcum_ext[jnp.clip(desc_first_slot, 0, l_max)]  # (D,)
     rank_in_desc = hcum - 1 - before_desc[desc]  # valid where hit
-    keep = hit & (rank_in_desc < u)
-    pair_overflow = jnp.any(hit & (rank_in_desc >= u))
+    # STRIDED subsampling when a descriptor has more than ``u`` hits — the
+    # reference's skip_len semantics (STDesc.cpp:467-468) applied per
+    # descriptor. Keeping the FIRST u hits instead is frame-id-biased
+    # (bucket rows sort frame-ascending within a key), and on aliased maps
+    # that starves the true frame's pair list and flips the verification
+    # ranking (found by the hard-world oracle-agreement check, round 4).
+    # When n_hits <= u the stride is 1 and this is exactly the old keep.
+    desc_next_slot = offsets[jnp.arange(1, d_max + 1) * 27]  # (D,)
+    after_desc = hcum_ext[jnp.clip(desc_next_slot, 0, l_max)]  # (D,)
+    n_hits_d = after_desc - before_desc  # (D,)
+    # stride = ceil(n/u): identity for n <= u, and rank//stride < u always.
+    stride_j = ((n_hits_d - 1) // u + 1)[job_desc]  # (NJ,) per-job constant
+    stride = _expand(stride_j)  # (L,) via the same delta-scatter machinery
+    stride = jnp.maximum(stride, 1)
+    keep = hit & (rank_in_desc % stride == 0)
+    pair_overflow = jnp.any(hit & (stride > 1))
     sd = jnp.where(keep, desc, d_max)  # dump row for non-kept
-    si = jnp.where(keep, rank_in_desc, 0)
+    si = jnp.where(keep, rank_in_desc // stride, 0)
     # One scatter carries everything: row+1 (0 = empty slot); the frame is
     # re-derived from the (tiny) selected rows afterwards.
     sel = (

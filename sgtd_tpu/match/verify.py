@@ -100,14 +100,17 @@ def verify_pairs(
     )  # (C, H, 3, 3)
     rot_h, t_h = triangle_solver(take_h(vq), take_h(vdb))  # (C, H, 3, 3)
 
-    # Inlier voting: all three vertices within dis_threshold (STDesc.cpp:487-502).
-    moved = (
-        jnp.einsum("chij,cpkj->chpki", rot_h, vq) + t_h[:, :, None, None, :]
-    )  # (C, H, P, 3, 3)
-    d = jnp.linalg.norm(moved - vdb[:, None], axis=-1)  # (C, H, P, 3)
-    inlier = jnp.all(d < jnp.float32(search.verify_dis_threshold), axis=-1)
-    inlier = inlier & pair_valid[:, None, :]  # (C, H, P)
-    votes_h = jnp.sum(inlier.astype(jnp.int32), axis=-1)  # (C, H)
+    # Inlier voting: all three vertices within dis_threshold
+    # (STDesc.cpp:487-502), as a fused Pallas kernel — the XLA formulation
+    # materialised the (C, H, P, 3, 3) transformed-vertex tensor + distances
+    # in HBM (~60 MB/query at bench shapes); the kernel keeps each
+    # candidate's (H, P) tiles in VMEM and emits only the vote counts
+    # (ops.pallas_verify).
+    from sgtd_tpu.ops.pallas_verify import hypothesis_votes
+
+    votes_h = hypothesis_votes(
+        rot_h, t_h, vq, vdb, pair_valid, search.verify_dis_threshold
+    )  # (C, H) int32
     votes_h = jnp.where(h_valid, votes_h, -1)
 
     best_h = jnp.argmax(votes_h, axis=-1)  # (C,)
@@ -118,7 +121,16 @@ def verify_pairs(
         return jnp.take_along_axis(x, idx, axis=1)[:, 0]
     rot_b = take_best(rot_h)  # (C, 3, 3)
     t_b = take_best(t_h)  # (C, 3)
-    inl_b = take_best(inlier)  # (C, P)
+    # Inlier mask re-derived for the best hypothesis ONLY: O(C, P) instead
+    # of carrying the full (C, H, P) mask out of the vote pass.
+    moved_b = (
+        jnp.einsum("cij,cpkj->cpki", rot_b, vq) + t_b[:, None, None, :]
+    )  # (C, P, 3, 3)
+    d_b = jnp.linalg.norm(moved_b - vdb, axis=-1)  # (C, P, 3)
+    inl_b = (
+        jnp.all(d_b < jnp.float32(search.verify_dis_threshold), axis=-1)
+        & pair_valid
+    )  # (C, P)
 
     accepted = (max_vote >= search.min_hypothesis_votes) & cand_valid
     score = jnp.where(

@@ -1,0 +1,110 @@
+"""Pallas TPU kernels for the probe/vote stage.
+
+The probe stage (match/search.py, analog of the reference's
+``candidate_selector`` bucket probing + match_array voting,
+src/sgtd/src/STDesc.cpp:318-460) is bound by random row gathers and
+L-sized scatter/cumsum passes, not FLOPs (BENCH_NOTES roofline). These
+kernels move the reducible parts onto VMEM-resident compute:
+
+  * ``frame_votes``: per-frame vote tally as tiled one-hot MXU matmuls —
+    replaces ``jax.ops.segment_sum`` whose TPU lowering is a serialized
+    HBM scatter-add.
+  * ``gather_rows``: vector gather of (M, 2) uint32 rows with the table
+    VMEM-resident (only valid for DBs that fit VMEM; the caller falls
+    back to the XLA gather otherwise).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_TILE = 2048  # L-tile per grid step for the vote kernel
+
+
+def _votes_kernel(hit_ref, frame_ref, out_ref, acc_ref, *, f_pad: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hit = hit_ref[:].astype(jnp.float32)  # (1, T)
+    frame = frame_ref[:]  # (1, T)
+    # One-hot in VMEM: (T, F) tile, then (1, T) @ (T, F) on the MXU.
+    onehot = (
+        frame[0][:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (_TILE, f_pad), 1)
+    ).astype(jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        hit, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("f_pad",))
+def frame_votes(hit: jnp.ndarray, frame: jnp.ndarray, f_pad: int) -> jnp.ndarray:
+    """Sum of ``hit`` per ``frame`` id: (f_pad,) float32.
+
+    hit (L,) bool; frame (L,) int32 in [0, f_pad). Ids outside the range
+    contribute nothing (mirrors segment_sum's drop semantics for the
+    sentinel id).
+    """
+    l = hit.shape[0]
+    pad = (-l) % _TILE
+    if pad:
+        hit = jnp.concatenate([hit, jnp.zeros((pad,), hit.dtype)])
+        frame = jnp.concatenate([frame, jnp.full((pad,), f_pad, jnp.int32)])
+    lt = hit.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_votes_kernel, f_pad=f_pad),
+        grid=(lt // _TILE,),
+        in_specs=[
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, f_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, f_pad), jnp.float32)],
+        interpret=_interpret(),
+    )(hit.reshape(1, lt), frame.reshape(1, lt))
+    return out[0]
+
+
+def _gather_kernel(tbl_ref, idx_ref, out_ref):
+    out_ref[:] = tbl_ref[idx_ref[:], :]
+
+
+@jax.jit
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = table[idx[i]] with the whole table VMEM-resident.
+
+    table (M, W); idx (L,) int32. Lowering experiment — Mosaic may reject
+    the traced-vector gather; callers must be ready to fall back.
+    """
+    l = idx.shape[0]
+    w = table.shape[1]
+    return pl.pallas_call(
+        _gather_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, w), table.dtype),
+        interpret=_interpret(),
+    )(table, idx)

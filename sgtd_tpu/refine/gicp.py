@@ -155,15 +155,20 @@ def gicp_align(
         Mr = jnp.sum(M * r[:, None, :], axis=-1)  # (N, 3) = M r
         g = Jw.T @ Mr.reshape(n * 3)  # (6,)
         y0 = jnp.sum(w * jnp.sum(r * Mr, axis=-1))
-        return H, g, y0, (nn, M, w)
+        # aux carries the GATHERED target points, not the indices: error()
+        # runs 8x per outer iteration inside LM's trust region, and
+        # re-gathering tgt[nn] there costs ~320k random rows per query at
+        # rerank shapes (random-gather issue rate bounds it, BENCH_NOTES) —
+        # the 12 KB of gathered points are effectively free to keep.
+        return H, g, y0, (b_pts, M, w)
 
     def error(T, aux):
         """compute_error: same correspondences + Mahalanobis terms, new T
         (the reference reuses mahalanobis_ from the last linearization,
         fast_gicp_impl.hpp:178-200)."""
-        nn, M, w = aux
+        b_pts, M, w = aux
         moved = src @ T[:3, :3].T + T[:3, 3]
-        r = tgt[nn] - moved
+        r = b_pts - moved
         Mr = jnp.sum(M * r[:, None, :], axis=-1)
         return jnp.sum(w * jnp.sum(r * Mr, axis=-1))
 

@@ -37,14 +37,23 @@ def main():
     )
     from sgtd_tpu.eval.runner import build_map_index, evaluate
 
+    import os
+
     num_map = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     num_q = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_motifs = int(os.environ.get("HARD_MOTIFS", "4"))
+    q_noise = float(os.environ.get("HARD_NOISE", "0.20"))
+    q_drop = float(os.environ.get("HARD_DROPOUT", "0.25"))
+    q_corrupt = float(os.environ.get("HARD_CORRUPT", "0.10"))
+    unique_pb = int(os.environ.get("HARD_UNIQUE", "5"))
+    skip_gicp = os.environ.get("HARD_SKIP_GICP", "") == "1"
     rng = np.random.default_rng(411)
     cfg = SGTDConfig()
 
     t0 = time.time()
     world = make_hard_world(
-        rng, num_map_frames=num_map, num_queries=num_q
+        rng, num_map_frames=num_map, num_queries=num_q,
+        n_motifs=n_motifs, unique_per_block=unique_pb,
     )
     # Map side: clean-ish observations (the reference builds maps from
     # predicted labels too, but with local-map densification smoothing).
@@ -55,7 +64,8 @@ def main():
     queries = [
         observe(
             world, p, cfg, rng,
-            center_noise_m=0.30, dropout=0.35, label_corrupt_rate=0.20,
+            center_noise_m=q_noise, dropout=q_drop,
+            label_corrupt_rate=q_corrupt,
         )
         for p in world.query_poses
     ]
@@ -71,6 +81,15 @@ def main():
     out_desc = evaluate(index, queries, batch_size=16)
     print(f"[hard] descriptor eval: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    if skip_gicp:
+        agree = oracle_agreement(index, maps, queries[: min(8, num_q)], cfg)
+        print(json.dumps({"descriptor_only": out_desc,
+                          "oracle_subsample": agree}, indent=2))
+        print(f"[hard] SR_desc={out_desc['success_rate']:.3f} "
+              f"oracle SR={agree['oracle_sr']:.3f} vs "
+              f"pipeline SR={agree['pipeline_sr']:.3f}", file=sys.stderr)
+        return
+
     # --- GICP-refined table (planar clouds; reference cloud prep) ---
     gcfg = index.config.replace(
         gicp=GicpConfig(enable=True, engine="gicp", max_points=1024)
@@ -78,8 +97,6 @@ def main():
     index.config = gcfg
 
     from sgtd_tpu.ops.voxel import load_query_cloud
-
-    cloud_rngs = {}
 
     def q_fn(i):
         pts, m = render_planar_cloud(
@@ -108,8 +125,9 @@ def main():
     result = {
         "workload": {
             "num_map": num_map, "num_q": num_q,
-            "query_center_noise_m": 0.30, "dropout": 0.35,
-            "label_corrupt_rate": 0.20, "motifs": 2,
+            "query_center_noise_m": q_noise, "dropout": q_drop,
+            "label_corrupt_rate": q_corrupt, "motifs": n_motifs,
+            "unique_per_block": unique_pb,
         },
         "descriptor_only": out_desc,
         "gicp_refined": out_gicp,
@@ -126,7 +144,9 @@ def main():
         f"[hard] SR_desc={sr:.3f} (discriminating band: {ok}) "
         f"RMSE desc={out_desc['rmse_trans_m']:.3f} -> "
         f"gicp={out_gicp['rmse_trans_m']:.3f} (improves: {improve}) "
-        f"oracle agree {agree['n_agree']}/{agree['n']}",
+        f"oracle SR={agree['oracle_sr']:.3f} vs pipeline "
+        f"SR={agree['pipeline_sr']:.3f} "
+        f"(frame agree {agree['n_frame_agree']}/{agree['n']})",
         file=sys.stderr,
     )
 
@@ -134,14 +154,16 @@ def main():
 def oracle_agreement(index, maps, queries, cfg):
     """Pipeline vs NumPy reference-oracle SearchLoop on a query subsample.
 
-    Agreement = same found flag and (when found) same best frame. The
-    oracle replays the reference's exact semantics (eval/oracle.py), so
-    equality here pins the pipeline's accuracy to the reference's on this
-    workload (VERDICT r3 next-#3 'assert pipeline SR == oracle SR').
+    The discriminating assertion is SR equality (VERDICT r3 next-#3
+    'assert pipeline SR == oracle SR'): both sides localize the subsample,
+    success = the usual 5 m/10 deg gate on the resulting world pose. Exact
+    best-frame agreement is also reported (informative — on aliased worlds
+    tie-order can differ without an accuracy difference).
     """
     import functools
     import jax
 
+    from sgtd_tpu.eval.metrics import rpe
     from sgtd_tpu.eval.oracle import OracleManager
     from sgtd_tpu.eval.runner import stack_graphs
     from sgtd_tpu.match.pipeline import localize
@@ -153,6 +175,7 @@ def oracle_agreement(index, maps, queries, cfg):
         pts = np.asarray(g.centers)[np.asarray(g.mask)]
         labs = np.asarray(g.labels)[np.asarray(g.mask)]
         mgr.add_stds(mgr.build(pts, labs))
+    frame_poses = [np.asarray(g.pose) for g in maps]
 
     loc = jax.jit(
         jax.vmap(
@@ -163,24 +186,46 @@ def oracle_agreement(index, maps, queries, cfg):
     res = loc(index.db, stack_graphs(list(queries)))
     found = np.asarray(res.found)
     frames = np.asarray(res.best_frame)
+    poses = np.asarray(res.poses[:, 0])
 
-    n_agree = 0
+    n_frame_agree, o_succ, p_succ = 0, 0, 0
     detail = []
     for i, g in enumerate(queries):
         pts = np.asarray(g.centers)[np.asarray(g.mask)]
         labs = np.asarray(g.labels)[np.asarray(g.mask)]
-        best_f, best_s, _, _ = mgr.search_loop(mgr.build(pts, labs))
-        o_found = best_f >= 0
-        a = (o_found == bool(found[i])) and (
-            not o_found or best_f == int(frames[i])
+        best_f, best_s, (rot_o, t_o), _ = mgr.search_loop(mgr.build(pts, labs))
+        gt = np.asarray(g.pose)
+        o_ok = False
+        if best_f >= 0:
+            T_loop = np.eye(4, dtype=np.float64)
+            T_loop[:3, :3] = rot_o
+            T_loop[:3, 3] = t_o
+            o_pose = frame_poses[best_f] @ T_loop
+            te, re_ = rpe(gt, o_pose)
+            o_ok = te < cfg.success_trans_m and re_ < cfg.success_rot_deg
+        p_ok = False
+        if found[i]:
+            te, re_ = rpe(gt, poses[i])
+            p_ok = te < cfg.success_trans_m and re_ < cfg.success_rot_deg
+        o_succ += int(o_ok)
+        p_succ += int(p_ok)
+        fa = (best_f >= 0) == bool(found[i]) and (
+            best_f < 0 or best_f == int(frames[i])
         )
-        n_agree += int(a)
+        n_frame_agree += int(fa)
         detail.append(
-            {"q": i, "oracle_frame": int(best_f),
+            {"q": i, "oracle_frame": int(best_f), "oracle_ok": bool(o_ok),
              "pipeline_frame": int(frames[i]) if found[i] else -1,
-             "agree": bool(a)}
+             "pipeline_ok": bool(p_ok), "frame_agree": bool(fa)}
         )
-    return {"n": len(list(queries)), "n_agree": n_agree, "detail": detail}
+    n = len(list(queries))
+    return {
+        "n": n,
+        "oracle_sr": o_succ / n,
+        "pipeline_sr": p_succ / n,
+        "n_frame_agree": n_frame_agree,
+        "detail": detail,
+    }
 
 
 if __name__ == "__main__":

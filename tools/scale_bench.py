@@ -86,6 +86,15 @@ def main():
         file=sys.stderr,
     )
 
+    # Deep buckets at scale need a bigger ragged-scan budget than the bench
+    # default: let the calibration fit the true probe totals (probe cost
+    # scales with the fitted cap either way; clamping would silently
+    # truncate votes instead).
+    import dataclasses
+
+    cfg = cfg.replace(
+        caps=dataclasses.replace(cfg.caps, max_scan_slots=1 << 21)
+    )
     cfg = tuned_config(cfg, report)
     qb = stack_graphs(queries)
     sample = jax.tree_util.tree_map(lambda x: x[:16], qb)
@@ -100,13 +109,36 @@ def main():
     res = jax.block_until_ready(loc_fn(db, qb))
     print(f"[scale] compile+first batch: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    reps = 3
+    # Per-rep epsilon-jittered inputs, all reps blocked on: identical
+    # buffers can be served from the relay's dispatch cache (bench.py got
+    # the same fix, VERDICT r3 next-#7) and blocking only on the last rep
+    # measures nothing.
+    reps = 2
+    jrng = np.random.default_rng(5)
+    rep_batches = [
+        qb._replace(
+            centers=qb.centers
+            + jnp.asarray(
+                jrng.normal(0, 1e-4, qb.centers.shape).astype(np.float32)
+            )
+        )
+        for _ in range(reps)
+    ]
+    jax.block_until_ready(rep_batches)
     t0 = time.time()
-    for _ in range(reps):
-        res = loc_fn(db, qb)
-    jax.block_until_ready(res)
+    outs = []
+    for r, b in enumerate(rep_batches):
+        o = loc_fn(db, b)
+        jax.block_until_ready(o)
+        outs.append(o)
+        print(f"[scale] rep {r}: {time.time()-t0:.1f}s cumulative",
+              file=sys.stderr)
     per_query_ms = (time.time() - t0) / (reps * num_q) * 1000.0
+    res = outs[-1]
 
+    from sgtd_tpu.match.search import TRUNC_SCAN
+
+    n_trunc = int(np.sum((np.asarray(res.truncated) & TRUNC_SCAN) != 0))
     found = np.asarray(res.found)
     poses = np.asarray(res.poses[:, 0])
     n_succ = 0
@@ -124,10 +156,16 @@ def main():
         "query_ms": round(per_query_ms, 2),
         "sr": round(sr, 3),
         "scan_slots": cfg.caps.max_scan_slots,
+        "bucket_cap": cfg.caps.bucket_cap,
+        "truncated_queries": n_trunc,
+        "num_queries": num_q,
     }
     print(json.dumps(out))
     if sr < 0.9:
         print(f"[scale] FAIL: SR={sr:.3f} < 0.9", file=sys.stderr)
+        sys.exit(1)
+    if n_trunc:
+        print(f"[scale] FAIL: {n_trunc} truncated probe scans", file=sys.stderr)
         sys.exit(1)
 
 
