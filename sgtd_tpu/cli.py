@@ -178,6 +178,10 @@ def _cmd_localize(args):
         map_cloud_fn=map_cloud_fn,
         rerank_k=args.rerank_k,
     )
+    if args.viz_dir:
+        out["viz"] = _write_candidate_viz(
+            args.viz_dir, index, query_graphs, args.viz_queries
+        )
     print(json.dumps(out, indent=2))
 
 
@@ -198,6 +202,10 @@ def _cmd_eval_synth(args):
     )
     index = build_map_index(maps, cfg)
     out = evaluate(index, queries, batch_size=min(16, args.queries))
+    if args.viz_dir:
+        out["viz"] = _write_candidate_viz(
+            args.viz_dir, index, queries, args.viz_queries
+        )
     if args.plot:
         from sgtd_tpu.eval.plotting import plot_localization
 
@@ -215,6 +223,23 @@ def _cmd_eval_synth(args):
         path = plot_localization(args.plot, np.stack([np.asarray(g.pose) for g in maps]), gt, est, succ)
         out["plot"] = path
     print(json.dumps(out, indent=2))
+
+
+def _write_candidate_viz(viz_dir, index, query_graphs, n):
+    """Per-query candidate/match PNGs (ref rviz marker topics,
+    semantic_graph_localization.cpp:784-953) — one artifact per eval run."""
+    from sgtd_tpu.eval.plotting import plot_query_candidates
+
+    os.makedirs(viz_dir, exist_ok=True)
+    paths = []
+    for i, g in enumerate(query_graphs[: max(n, 0)]):
+        p = plot_query_candidates(
+            os.path.join(viz_dir, f"query_{i:04d}.png"),
+            index.db, g, index.config, title=f"query {i}",
+        )
+        if p:
+            paths.append(p)
+    return paths
 
 
 def main(argv=None):
@@ -251,6 +276,11 @@ def main(argv=None):
                    help="query-cloud voxel downsample leaf (ref SG_data)")
     l.add_argument("--gicp-max-points", type=int, default=8192)
     l.add_argument("--rerank-k", type=int, default=4)
+    l.add_argument("--viz-dir", default=None,
+                   help="write per-query candidate/match PNGs here (the "
+                        "off-ROS analog of the reference's marker topics)")
+    l.add_argument("--viz-queries", type=int, default=4,
+                   help="how many queries to visualize")
     l.set_defaults(fn=_cmd_localize)
 
     e = sub.add_parser("eval-synth", help="synthetic-world evaluation")
@@ -259,6 +289,9 @@ def main(argv=None):
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--label-corrupt-rate", type=float, default=0.05)
     e.add_argument("--plot", default=None, help="write a trajectory PNG here")
+    e.add_argument("--viz-dir", default=None,
+                   help="write per-query candidate/match PNGs here")
+    e.add_argument("--viz-queries", type=int, default=4)
     e.set_defaults(fn=_cmd_eval_synth)
 
     args = ap.parse_args(argv)

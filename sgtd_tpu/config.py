@@ -134,6 +134,13 @@ class GicpConfig:
     voxel_resolution: float = 1.0
     neighbor_search: str = "direct1"  # direct1 | direct7 | direct27
     voxel_mode: str = "additive"  # additive | multiplicative
+    # Max NN correspondence distance in metres; pairs beyond it are dropped
+    # from the linearization entirely (ref fast_gicp corr_dist_threshold_,
+    # fast_gicp_impl.hpp:18,139 — infinite by default there and here; the
+    # node's tuning surface exposes it as setMaxCorrespondenceDistance,
+    # semantic_graph_localization.cpp:668). Finite values remove the
+    # partial-overlap drag when query and keyframe view fields differ.
+    max_corr_dist_m: float = float("inf")
     # Reject a refinement that moves the pose further than this from the
     # geometrically-verified descriptor estimate (a diverged ICP on
     # repetitive structure; guard absent in the reference).

@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sgtd_tpu.config import GicpConfig
 from sgtd_tpu.geom import se3
@@ -133,7 +134,7 @@ def gicp_align(
         """
         R = T[:3, :3]
         moved = src @ R.T + T[:3, 3]
-        nn, _ = nn_of(moved)
+        nn, nn_sqd = nn_of(moved)
         b_pts = tgt[nn]
         cb = tgt_cov[nn]
         # Mahalanobis (C_B + R C_A R^T)^-1 (fast_gicp_impl.hpp:148-153).
@@ -142,6 +143,11 @@ def gicp_align(
         M = inv3x3(rcr)
         r = b_pts - moved  # (N, 3)
         valid = src_mask & tgt_mask[nn]
+        # Correspondence distance gate (ref corr_dist_threshold_,
+        # fast_gicp_impl.hpp:139: gated pairs are dropped from H, b and the
+        # cost). Infinite by default, matching the reference node.
+        if np.isfinite(cfg.max_corr_dist_m):
+            valid = valid & (nn_sqd < jnp.float32(cfg.max_corr_dist_m) ** 2)
         w = valid.astype(src.dtype)
         # J = [-I | skew(moved)] (3, 6) per point.
         sk = se3.hat(moved)  # (N, 3, 3)

@@ -231,3 +231,41 @@ def test_runner_fallback_on_truncated_queries(world):
     out = runner.evaluate(index, queries, batch_size=2)
     # The starved cap alone would lose votes; the fallback restores accuracy.
     assert out["success_rate"] == 1.0, out
+
+
+def test_strided_subsampling_is_frame_unbiased(world):
+    """When a descriptor has more hits than hits_per_descriptor, the kept
+    pair list must be a STRIDE of the full hit list (reference skip_len
+    semantics, STDesc.cpp:467-468), not the first-u prefix — bucket rows
+    sort frame-ascending within a key, so prefix clipping starves high-id
+    frames' pair lists on aliased maps (round-4 bug)."""
+    cfg, db, queries = world
+    q = build_descriptors(queries[0], cfg.desc, cfg.caps)
+
+    full = probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)
+    assert not bool(full.pair_overflow)
+    n_per_desc = np.asarray(
+        full.sel_frame < db.frame_poses.shape[0]
+    ).sum(axis=1)
+    # Pick a descriptor with several hits and force the cap below it.
+    d = int(np.argmax(n_per_desc))
+    n = int(n_per_desc[d])
+    assert n >= 4, "fixture world lacks a multi-hit descriptor"
+    u = max(2, n // 2)
+    tiny = _tiny_caps(cfg, hits_per_descriptor=u)
+    sub = probe_and_hits(db, q, tiny.desc, tiny.search, tiny.caps)
+    assert bool(sub.pair_overflow)
+
+    f_pad = db.frame_poses.shape[0]
+    full_rows = np.asarray(full.sel_row)[d][
+        np.asarray(full.sel_frame)[d] < f_pad
+    ]
+    sub_rows = np.asarray(sub.sel_row)[d][
+        np.asarray(sub.sel_frame)[d] < f_pad
+    ]
+    stride = (n - 1) // u + 1
+    expected = full_rows[::stride]
+    np.testing.assert_array_equal(np.sort(sub_rows), np.sort(expected))
+    # The stride spans the WHOLE hit list: the last kept hit comes from the
+    # tail of the full list, not its prefix.
+    assert sub_rows.max() == expected.max()
