@@ -170,6 +170,33 @@ def _cmd_localize(args):
             return load_query_cloud(pts, 0.0, cfg.gicp.max_points)
 
     index = build_map_index(map_graphs, cfg)
+
+    # Persistent map artifacts (keyframe clouds + GICP covariances + vgicp
+    # voxel maps): built once, saved beside the DB, loaded as a device_put
+    # on later runs — the query path then does zero per-query target
+    # covariance/voxel work (the reference redoes both per setInputTarget,
+    # fast_gicp_impl.hpp:60-72).
+    artifacts = None
+    if args.enable_gicp and args.map_artifacts:
+        from sgtd_tpu.db.artifacts import (
+            build_map_artifacts,
+            load_map_artifacts,
+            save_map_artifacts,
+        )
+
+        if os.path.exists(args.map_artifacts):
+            artifacts = load_map_artifacts(args.map_artifacts)
+            print(f"[localize] loaded map artifacts: {args.map_artifacts}",
+                  file=sys.stderr)
+        else:
+            artifacts = build_map_artifacts(
+                map_cloud_fn, len(map_graphs), cfg.gicp,
+                f_pad=index.db.frame_poses.shape[0],
+            )
+            save_map_artifacts(args.map_artifacts, artifacts)
+            print(f"[localize] built+saved map artifacts: "
+                  f"{args.map_artifacts}", file=sys.stderr)
+
     out = evaluate(
         index,
         query_graphs,
@@ -177,6 +204,7 @@ def _cmd_localize(args):
         query_cloud_fn=query_cloud_fn,
         map_cloud_fn=map_cloud_fn,
         rerank_k=args.rerank_k,
+        map_artifacts=artifacts,
     )
     if args.viz_dir:
         out["viz"] = _write_candidate_viz(
@@ -276,6 +304,10 @@ def main(argv=None):
                    help="query-cloud voxel downsample leaf (ref SG_data)")
     l.add_argument("--gicp-max-points", type=int, default=8192)
     l.add_argument("--rerank-k", type=int, default=4)
+    l.add_argument("--map-artifacts", default=None,
+                   help="path to the persistent keyframe-cloud/covariance/"
+                        "voxel-map .npz (built+saved on first run, loaded "
+                        "afterwards)")
     l.add_argument("--viz-dir", default=None,
                    help="write per-query candidate/match PNGs here (the "
                         "off-ROS analog of the reference's marker topics)")

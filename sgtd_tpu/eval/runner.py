@@ -75,6 +75,84 @@ def build_map_index(
     )
 
 
+def _rerank_chunk_artifacts(
+    index, cfg, res, chunk, i0, best_poses,
+    query_cloud_fn, art, rerank_k, batch_size,
+):
+    """Rerank one chunk against PREBUILT map artifacts: keyframe clouds,
+    covariances, and (vgicp) Gaussian voxel maps gathered by candidate
+    frame on device — zero per-query target covariance/voxel work
+    (VERDICT r3 next-#5; the reference redoes this per setInputTarget,
+    fast_gicp_impl.hpp:60-72)."""
+    import jax.numpy as jnp
+
+    from sgtd_tpu.refine.gicp import gicp_rerank
+    from sgtd_tpu.refine.vgicp import vgicp_rerank
+
+    found = np.asarray(res.found)
+    ks = [k for k in range(len(chunk)) if bool(found[k])]
+    if not ks:
+        return best_poses
+
+    cache_key = (cfg.gicp, "artifacts")
+    if getattr(index, "_art_cache_key", None) != cache_key:
+        index._art_cache_key = cache_key
+        use_vgicp = cfg.gicp.engine == "vgicp" and art.vmaps is not None
+
+        if use_vgicp:
+            def rerank_many(src, smask, frames, T0):
+                def one(s, sm, fk, t0):
+                    vm_k = jax.tree_util.tree_map(
+                        lambda x: x[fk], art.vmaps
+                    )
+                    return vgicp_rerank(
+                        s, sm, s, sm, t0, cfg.gicp, voxel_maps=vm_k
+                    )
+                return jax.vmap(one)(src, smask, frames, T0)
+        else:
+            def rerank_many(src, smask, frames, T0):
+                def one(s, sm, fk, t0):
+                    return gicp_rerank(
+                        s, sm, art.clouds[fk], art.masks[fk], t0,
+                        cfg.gicp, tgt_covs=art.covs[fk],
+                    )
+                return jax.vmap(one)(src, smask, frames, T0)
+
+        index._art_rerank_many = jax.jit(rerank_many)
+
+    frames_q = np.asarray(res.frames)[:, :rerank_k]  # (B, K)
+    rots = np.asarray(res.rot)[:, :rerank_k]
+    trans = np.asarray(res.trans)[:, :rerank_k]
+
+    srcs, smasks = zip(*(query_cloud_fn(i0 + k) for k in ks))
+    q_n = len(ks)
+    pad = batch_size - q_n
+    rep = lambda a: np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0) if pad else a
+    src_b = rep(np.stack([np.asarray(s) for s in srcs]))
+    smask_b = rep(np.stack([np.asarray(m) for m in smasks]))
+    frames_b = rep(np.stack([frames_q[k] for k in ks]))
+    inits = np.tile(np.eye(4, dtype=np.float32), (batch_size, rerank_k, 1, 1))
+    for j, k in enumerate(ks):
+        inits[j, :, :3, :3] = rots[k]
+        inits[j, :, :3, 3] = trans[k]
+
+    out = index._art_rerank_many(
+        jnp.asarray(src_b), jnp.asarray(smask_b),
+        jnp.asarray(frames_b.astype(np.int32)), jnp.asarray(inits),
+    )
+    fit = np.asarray(out.fitness)[:q_n]
+    tf = np.asarray(out.transform)[:q_n]
+    good = fit < cfg.gicp.best_fitness
+    pick = np.where(good.any(axis=1), good.argmax(axis=1), fit.argmin(axis=1))
+    frame_poses = np.asarray(index.db.frame_poses)
+    for j, k in enumerate(ks):
+        refined = frame_poses[frames_q[k][pick[j]]] @ tf[j, pick[j]]
+        shift = np.linalg.norm(refined[:3, 3] - best_poses[k][:3, 3])
+        if shift <= cfg.gicp.max_refine_shift_m:
+            best_poses[k] = refined
+    return best_poses
+
+
 def _rerank_chunk(
     index, cfg, res, chunk, i0, best_poses,
     query_cloud_fn, map_cloud_fn, rerank_k, batch_size,
@@ -195,6 +273,7 @@ def evaluate(
     query_cloud_fn=None,
     map_cloud_fn=None,
     rerank_k: int = 4,
+    map_artifacts=None,
 ) -> dict:
     """Localize every query; return the reference-style metric summary.
 
@@ -245,10 +324,15 @@ def evaluate(
         use_gicp = (
             cfg.gicp.enable
             and query_cloud_fn is not None
-            and map_cloud_fn is not None
+            and (map_cloud_fn is not None or map_artifacts is not None)
         )
         best_poses = np.array(res.poses[:, 0])
-        if use_gicp:
+        if use_gicp and map_artifacts is not None:
+            best_poses = _rerank_chunk_artifacts(
+                index, cfg, res, chunk, i, best_poses,
+                query_cloud_fn, map_artifacts, rerank_k, batch_size,
+            )
+        elif use_gicp:
             best_poses = _rerank_chunk(
                 index, cfg, res, chunk, i, best_poses,
                 query_cloud_fn, map_cloud_fn, rerank_k, batch_size,
