@@ -286,10 +286,21 @@ def probe_and_hits(
     hit = slot_valid & (dis2 < thr2)  # (L,)
 
     # --- exact per-frame vote tally (ref match_array, STDesc.cpp:410-412). ---
+    # segment_sum lowers to a serialized HBM scatter-add on TPU — measured
+    # 0.91 ms/query at bench shapes vs 0.07 ms for the Pallas tiled
+    # one-hot-matmul kernel (tools/probe_opt_bench.py, bit-identical).
+    # The kernel's one-hot tile is (2048, F), so it only applies while the
+    # padded frame count keeps that tile in VMEM; wide-frame DBs keep the
+    # scatter-add.
     f_pad = db.frame_poses.shape[0]
-    votes = jax.ops.segment_sum(
-        hit.astype(jnp.float32), frame_of_hit, num_segments=f_pad
-    )
+    if f_pad <= 2048:
+        from sgtd_tpu.ops.pallas_probe import frame_votes
+
+        votes = frame_votes(hit, frame_of_hit, f_pad)
+    else:
+        votes = jax.ops.segment_sum(
+            hit.astype(jnp.float32), frame_of_hit, num_segments=f_pad
+        )
     votes = jnp.where(db.frame_valid, votes, 0.0)
 
     # --- compact hits per query descriptor for pair extraction. ---

@@ -93,7 +93,7 @@ def main():
     import dataclasses
 
     cfg = cfg.replace(
-        caps=dataclasses.replace(cfg.caps, max_scan_slots=1 << 21)
+        caps=dataclasses.replace(cfg.caps, max_scan_slots=1 << 23)
     )
     cfg = tuned_config(cfg, report)
     qb = stack_graphs(queries)
@@ -102,12 +102,19 @@ def main():
     print(f"[scale] scan_slots={cfg.caps.max_scan_slots} "
           f"bucket_cap={cfg.caps.bucket_cap}", file=sys.stderr)
 
+    # Chunked queries: the ragged-scan workspace is (batch, L) — at
+    # deep-bucket scale (L up to 2^23) a 32-wide vmap would hold multiple
+    # GB-sized L-buffers; 8-query chunks bound it.
+    chunk = 8
     loc_fn = jax.jit(
         jax.vmap(functools.partial(localize, config=cfg), in_axes=(None, 0))
     )
+    take = lambda t, i: jax.tree_util.tree_map(
+        lambda x: x[i * chunk : (i + 1) * chunk], t
+    )
     t0 = time.time()
-    res = jax.block_until_ready(loc_fn(db, qb))
-    print(f"[scale] compile+first batch: {time.time()-t0:.1f}s", file=sys.stderr)
+    res = jax.block_until_ready(loc_fn(db, take(qb, 0)))
+    print(f"[scale] compile+first chunk: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # Per-rep epsilon-jittered inputs, all reps blocked on: identical
     # buffers can be served from the relay's dispatch cache (bench.py got
@@ -125,16 +132,20 @@ def main():
         for _ in range(reps)
     ]
     jax.block_until_ready(rep_batches)
+    n_chunks = num_q // chunk
     t0 = time.time()
     outs = []
     for r, b in enumerate(rep_batches):
-        o = loc_fn(db, b)
-        jax.block_until_ready(o)
-        outs.append(o)
+        # Chunk dispatches pipeline within a rep; the rep boundary blocks.
+        chunks_out = [loc_fn(db, take(b, i)) for i in range(n_chunks)]
+        jax.block_until_ready(chunks_out)
+        outs = chunks_out
         print(f"[scale] rep {r}: {time.time()-t0:.1f}s cumulative",
               file=sys.stderr)
     per_query_ms = (time.time() - t0) / (reps * num_q) * 1000.0
-    res = outs[-1]
+    res = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
 
     from sgtd_tpu.match.search import TRUNC_SCAN
 
