@@ -217,13 +217,19 @@ def main():
 
     t0 = time.time()
     outs = []
-    for chunks, qc_chunks, qm_chunks in rep_inputs:
+    for r, (chunks, qc_chunks, qm_chunks) in enumerate(rep_inputs):
+        # Chunk dispatches pipeline within a rep; every rep's results are
+        # explicitly synced — blocking only on the final rep's handles
+        # produced a fantasy number once the chunk count shrank (the relay
+        # does not guarantee earlier dispatches completed).
         outs = [
             loc_fn(db, take(chunks, i), qc_chunks[i], qm_chunks[i],
                    map_clouds, map_masks, map_covs)
             for i in range(num_q // chunk)
         ]
-    jax.block_until_ready(outs)
+        jax.block_until_ready(outs)
+        print(f"[bench] rep {r}: {time.time()-t0:.2f}s cumulative",
+              file=sys.stderr)
     elapsed = time.time() - t0
     scans_per_sec = num_q * reps / elapsed
 

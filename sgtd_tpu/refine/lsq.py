@@ -66,8 +66,16 @@ def gn_solve(
     """Gauss-Newton (step_gn, lsq_registration_impl.hpp:106-120)."""
     eye6 = jnp.eye(6, dtype=T0.dtype)
 
-    def step(carry, _):
-        T, done, y_last = carry
+    def cond(carry):
+        i, T, done, y = carry
+        # Early exit like the reference's `i < max_iterations_ &&
+        # !converged_` (lsq_registration_impl.hpp:65); under vmap the
+        # while_loop runs until every batched problem is done, so typical
+        # 3-5-iteration convergences stop paying for the full trip count.
+        return (i < max_iterations) & ~done
+
+    def step(carry):
+        i, T, done, y_last = carry
         H, g, y0, _ = linearize(T)
         # Unrolled SPD solve: jnp.linalg.solve's 6x6 pivoted-LU loop costs
         # ~0.6 ms per batched call on TPU (ops.linalg3.chol_solve6).
@@ -76,11 +84,11 @@ def gn_solve(
         conv = _is_converged(delta_T, rot_eps, trans_eps)
         T_new = jnp.where(done, T, delta_T @ T)
         y_new = jnp.where(done, y_last, y0)
-        return (T_new, done | conv, y_new), None
+        return (i + 1, T_new, done | conv, y_new)
 
-    (T, done, y), _ = jax.lax.scan(
-        step, (T0, jnp.asarray(False), jnp.asarray(jnp.inf, T0.dtype)),
-        None, length=max_iterations,
+    _, T, done, y = jax.lax.while_loop(
+        cond, step,
+        (jnp.int32(0), T0, jnp.asarray(False), jnp.asarray(jnp.inf, T0.dtype)),
     )
     return LsqResult(transform=T, converged=done, final_cost=y)
 
@@ -104,9 +112,26 @@ def lm_solve(
     """
     eye6 = jnp.eye(6, dtype=T0.dtype)
     dt = T0.dtype
+    # The trust-region inner loop tries a DETERMINISTIC lambda ladder:
+    # rejection k multiplies lambda by nu = 2^k (nu doubles each reject),
+    # so candidate k uses lambda * 2^(k(k+1)/2). All lm_inner candidate
+    # steps can therefore be solved and error-evaluated BATCHED in one
+    # pass, and the sequential first-accept semantics recovered by an
+    # argmax over the event mask — identical results, 1/lm_inner-th the
+    # sequential-scan overhead (the inner loop was ~80 dependent scan
+    # iterations per rerank at bench shapes).
+    ladder = jnp.asarray(
+        [2.0 ** (k * (k + 1) / 2.0) for k in range(lm_inner)], dt
+    )
 
-    def outer(carry, _):
-        T, lam, done = carry
+    def cond(carry):
+        i, T, lam, done, y = carry
+        # Reference early exit (lsq_registration_impl.hpp:65), batched:
+        # see gn_solve.
+        return (i < max_iterations) & ~done
+
+    def outer(carry):
+        i, T, lam, done, y_prev = carry
         H, g, y0, aux = linearize(T)
         # Lazy lambda init (lsq_registration_impl.hpp:128-130).
         lam = jnp.where(
@@ -115,51 +140,45 @@ def lm_solve(
             lam,
         )
 
-        def inner(st, _):
-            T_i, lam_i, nu, accepted, conv = st
-            d = chol_solve6(H + lam_i * eye6, -g)
-            delta_T = se3.se3_exp(d)
-            T_try = delta_T @ T  # retraction from the linearization point
-            yi = error(T_try, aux)
-            rho = (y0 - yi) / jnp.dot(d, lam_i * d - g)  # :142
-            active = ~accepted & ~done
-            take = active & (rho >= 0.0)
-            reject = active & (rho < 0.0)
-            # Reject: converged-small step ends the optimization without
-            # moving (:147-151); otherwise grow lambda (:153-154).
-            step_conv = _is_converged(delta_T, rot_eps, trans_eps)
-            conv = conv | ((take | reject) & step_conv)
-            lam_new = jnp.where(
-                take,
-                lam_i * jnp.maximum(
-                    jnp.asarray(1.0 / 3.0, dt),
-                    1.0 - (2.0 * rho - 1.0) ** 3,
-                ),  # :159
-                jnp.where(reject & ~step_conv, nu * lam_i, lam_i),
-            )
-            nu_new = jnp.where(reject & ~step_conv, 2.0 * nu, nu)
-            T_new = jnp.where(take, T_try, T_i)
-            # A converged rejection also stops trying (reference returns).
-            accepted = accepted | take | (reject & step_conv)
-            return (T_new, lam_new, nu_new, accepted, conv), None
-
-        (T_new, lam_new, _, accepted, conv), _ = jax.lax.scan(
-            inner,
-            (T, lam, jnp.asarray(2.0, dt), done, jnp.asarray(False)),
-            None,
-            length=lm_inner,
-        )
+        lam_k = lam * ladder  # (K,)
+        Hk = H[None] + lam_k[:, None, None] * eye6[None]
+        d_k = jax.vmap(lambda Hi: chol_solve6(Hi, -g))(Hk)  # (K, 6)
+        delta_k = jax.vmap(se3.se3_exp)(d_k)  # (K, 4, 4)
+        T_k = delta_k @ T[None]
+        y_k = jax.vmap(lambda Ti: error(Ti, aux))(T_k)  # (K,)
+        rho_k = (y0 - y_k) / jnp.einsum(
+            "kj,kj->k", d_k, lam_k[:, None] * d_k - g[None]
+        )  # :142
+        accept_k = rho_k >= 0.0
+        stepconv_k = jax.vmap(
+            lambda D: _is_converged(D, rot_eps, trans_eps)
+        )(delta_k)
+        # Sequential events: at candidate k, accept (rho >= 0, :156-161)
+        # or stop-as-converged on a converged rejection (:147-151);
+        # otherwise grow lambda and continue. First event wins.
+        event_k = accept_k | stepconv_k
+        first = jnp.argmax(event_k)  # first True (argmax of bools)
+        has_event = jnp.any(event_k)
+        acc = has_event & accept_k[first]
+        conv_stop = has_event & ~accept_k[first]  # converged rejection
+        rho_f = rho_k[first]
+        lam_acc = lam_k[first] * jnp.maximum(
+            jnp.asarray(1.0 / 3.0, dt), 1.0 - (2.0 * rho_f - 1.0) ** 3
+        )  # :159
+        conv = (acc & stepconv_k[first]) | conv_stop
+        T_new = jnp.where(acc, T_k[first], T)
+        lam_new = jnp.where(acc, lam_acc, lam)
         # Inner exhaustion without acceptance = "lm not converged" break
         # (lsq_registration_impl.hpp computeTransformation :70-73).
-        done_new = done | conv | ~accepted
+        done_new = done | conv | ~has_event | conv_stop
         T_out = jnp.where(done, T, T_new)
         lam_out = jnp.where(done, lam, lam_new)
-        return (T_out, lam_out, done_new), y0
+        y_out = jnp.where(done, y_prev, y0)
+        return (i + 1, T_out, lam_out, done_new, y_out)
 
-    (T, _, done), ys = jax.lax.scan(
-        outer,
-        (T0, jnp.asarray(-1.0, dt), jnp.asarray(False)),
-        None,
-        length=max_iterations,
+    _, T, _, done, y = jax.lax.while_loop(
+        cond, outer,
+        (jnp.int32(0), T0, jnp.asarray(-1.0, dt), jnp.asarray(False),
+         jnp.asarray(jnp.inf, dt)),
     )
-    return LsqResult(transform=T, converged=done, final_cost=ys[-1])
+    return LsqResult(transform=T, converged=done, final_cost=y)

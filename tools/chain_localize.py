@@ -117,11 +117,15 @@ def main():
     ph_fn = jax.vmap(
         lambda q: probe_and_hits(db, q, cfg.desc, cfg.search, cfg.caps)
     )
-    chain_time(
-        "probe_and_hits (votes+hits)", q16,
-        lambda q: q._replace(sides=q.sides + eps * jnp.sum(ph_fn(q).votes[:, :1])),
-        k_hi=3,
-    )
+    def probe_step(q):
+        ph = ph_fn(q)
+        # Consume EVERY output: reducing only votes lets XLA dead-code the
+        # hit compaction (sel_row/sel_frame) out of the measurement.
+        tot = (jnp.sum(ph.votes) + jnp.sum(ph.sel_row)
+               + jnp.sum(ph.sel_frame)
+               + jnp.sum(ph.scan_overflow) + jnp.sum(ph.pair_overflow))
+        return q._replace(sides=q.sides + eps * tot.astype(jnp.float32))
+    chain_time("probe_and_hits (votes+hits+compaction)", q16, probe_step, k_hi=3)
 
     # 3. candidate select + pair extraction (needs stage-1 output).
     # The fixed stage-1 arrays must be perturbed by a CARRY-DERIVED zero:
@@ -138,8 +142,9 @@ def main():
                                  cfg.caps.pairs_per_candidate)
         pq, pr, pv = jax.vmap(one)(ph0.votes + z.astype(jnp.float32),
                                    ph0.sel_row, ph0.sel_frame)
+        tot = jnp.sum(pq) + jnp.sum(pr) + jnp.sum(pv)
         return q._replace(
-            sides=q.sides + eps * jnp.sum(pq[:, :1, :1].astype(jnp.float32))
+            sides=q.sides + eps * tot.astype(jnp.float32)
         )
     chain_time("select+extract_pairs", q16, sel_ext, k_hi=5)
 
@@ -154,9 +159,12 @@ def main():
         z = (jnp.sum(q.sides[0, 0]) * 0).astype(jnp.int32)
         c = cand0._replace(pair_row=cand0.pair_row + z,
                            pair_qidx=cand0.pair_qidx + z)
-        return q._replace(
-            sides=q.sides + eps * jnp.sum(ver_fn(q, c).scores[:, :1])
-        )
+        v = ver_fn(q, c)
+        # Consume rot/trans/inliers too: otherwise the all-inlier pose
+        # polish (weighted Kabsch) is dead code in this measurement.
+        tot = (jnp.sum(v.scores) + jnp.sum(v.rot) + jnp.sum(v.trans)
+               + jnp.sum(v.inliers))
+        return q._replace(sides=q.sides + eps * tot.astype(jnp.float32))
     chain_time("verify_candidates", q16, ver_step, k_hi=5)
 
 
