@@ -95,6 +95,78 @@ def point_covariances(
     return jnp.where(mask[:, None, None], cov_reg, jnp.eye(3, dtype=cov.dtype))
 
 
+# Fused Pallas linearization (ops.pallas_gicp): the whole GICP iteration
+# (distances, first-argmin, one-hot MXU payload gather, Mahalanobis, H/g
+# reduction) runs per source tile in VMEM instead of ~100 small XLA ops
+# over (N, 3, 3) HBM intermediates. The XLA formulation below is kept as
+# the reference implementation for parity tests (tests/test_pallas_gicp).
+_USE_FUSED_LINEARIZE = True
+
+
+def _gicp_align_fused(
+    src, src_mask, tgt, tgt_eff, tgt_mask, init_transform, cfg,
+    src_cov, tgt_cov,
+) -> GicpResult:
+    from sgtd_tpu.ops.pallas_gicp import build_gicp_payload, linearize_gicp
+
+    payload = build_gicp_payload(tgt, tgt_mask, tgt_cov)
+    scov6 = jnp.stack(
+        [src_cov[:, 0, 0], src_cov[:, 0, 1], src_cov[:, 0, 2],
+         src_cov[:, 1, 1], src_cov[:, 1, 2], src_cov[:, 2, 2]],
+        axis=1,
+    )
+    gate = float(cfg.max_corr_dist_m)
+
+    def linearize(T):
+        H, g, y0, aux = linearize_gicp(
+            T, src, scov6, src_mask, tgt_eff, payload, gate
+        )
+        return H, g, y0, aux
+
+    def error(T, aux):
+        b = aux[:, :3]
+        w = aux[:, 9]
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        rx = b[:, 0] - moved[:, 0]
+        ry = b[:, 1] - moved[:, 1]
+        rz = b[:, 2] - moved[:, 2]
+        Mrx = aux[:, 3] * rx + aux[:, 4] * ry + aux[:, 5] * rz
+        Mry = aux[:, 4] * rx + aux[:, 6] * ry + aux[:, 7] * rz
+        Mrz = aux[:, 5] * rx + aux[:, 7] * ry + aux[:, 8] * rz
+        return jnp.sum(w * (rx * Mrx + ry * Mry + rz * Mrz))
+
+    T0 = init_transform.astype(src.dtype)
+    if cfg.optimizer == "lm":
+        res = lm_solve(
+            linearize, error, T0,
+            max_iterations=cfg.max_iterations,
+            lm_inner=cfg.lm_max_inner,
+            rot_eps=cfg.rot_eps,
+            trans_eps=cfg.trans_eps,
+            init_lambda_factor=cfg.lm_init_lambda_factor,
+        )
+    else:
+        res = gn_solve(
+            linearize, T0,
+            max_iterations=cfg.max_iterations,
+            rot_eps=cfg.rot_eps,
+            trans_eps=cfg.trans_eps,
+            damping=cfg.gn_damping,
+        )
+    T_final = res.transform
+
+    moved = src @ T_final[:3, :3].T + T_final[:3, 3]
+    nn, sqd = pallas_nn.nn1(moved, tgt_eff)
+    valid = src_mask & tgt_mask[nn]
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    fitness = jnp.sum(jnp.where(valid, jnp.maximum(sqd, 0.0), 0.0)) / n_valid
+    return GicpResult(
+        transform=T_final,
+        fitness=fitness,
+        num_inliers=jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
 def gicp_align(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -115,6 +187,12 @@ def gicp_align(
     # distance matrix breaks the fused matmul+reduction lowering).
     tgt_eff = jnp.where(tgt_mask[:, None], tgt, jnp.float32(1e6))
     n = src.shape[0]
+
+    if _USE_FUSED_LINEARIZE:
+        return _gicp_align_fused(
+            src, src_mask, tgt, tgt_eff, tgt_mask, init_transform, cfg,
+            src_cov, tgt_cov,
+        )
 
     def nn_of(transformed):
         """Nearest target index + sq dist for each (transformed) src point.
