@@ -98,6 +98,11 @@ def _linearize_kernel(T_ref, src_ref, scov_ref, smask_ref, tgt_ref,
         onehot, payload_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 multiplies: the MXU's default bf16 cast would QUANTIZE the
+        # gathered coordinates (~2 cm at 20 m — observed as a bf16-grid
+        # pose on chip). The one-hot is exact either way; the payload
+        # is not.
+        precision=jax.lax.Precision.HIGHEST,
     )  # (bq, 13): [bx by bz | cb 6 upper-tri | pad pad pad | mask]
 
     bx = sel[:, 0]; by = sel[:, 1]; bz = sel[:, 2]
@@ -143,7 +148,6 @@ def _linearize_kernel(T_ref, src_ref, scov_ref, smask_ref, tgt_ref,
     Mrx = Mxx * rx + Mxy * ry + Mxz * rz
     Mry = Mxy * rx + Myy * ry + Myz * rz
     Mrz = Mxz * rx + Myz * ry + Mzz * rz
-    y0 = jnp.sum(w * (rx * Mrx + ry * Mry + rz * Mrz))
 
     # J = [-I | S], S = skew(moved):
     #   S = [[0, -mz, my], [mz, 0, -mx], [-my, mx, 0]]
@@ -179,20 +183,23 @@ def _linearize_kernel(T_ref, src_ref, scov_ref, smask_ref, tgt_ref,
         Msc[0], Msc[1], Msc[2],
     ]
 
-    vals = []
+    # Per-row contribution columns stacked to ONE (bq, 64) 2-D array and
+    # reduced over the sublane axis — Mosaic rejects scalar reductions of
+    # relayouted 1-D vectors ("Not implemented: Offset change").
+    cols = []
     for a, b in _H_IDX:
         ca_ = cols6[a]; mb = Mcols[b]
-        vals.append(jnp.sum(w * (ca_[0] * mb[0] + ca_[1] * mb[1] + ca_[2] * mb[2])))
+        cols.append(w * (ca_[0] * mb[0] + ca_[1] * mb[1] + ca_[2] * mb[2]))
     for a in range(6):
         c6 = cols6[a]
-        vals.append(jnp.sum(w * (c6[0] * Mrx + c6[1] * Mry + c6[2] * Mrz)))
-    vals.append(y0)
-    vals.append(jnp.sum(w))
-    vals.append(jnp.sum(w * sqd))
-    pad = _N_OUT - len(vals)
-    acc_ref[0, :] += jnp.concatenate(
-        [jnp.stack(vals), jnp.zeros((pad,), jnp.float32)]
-    )
+        cols.append(w * (c6[0] * Mrx + c6[1] * Mry + c6[2] * Mrz))
+    cols.append(w * (rx * Mrx + ry * Mry + rz * Mrz))  # y0
+    cols.append(w)
+    cols.append(w * sqd)
+    zero = jnp.zeros_like(w)
+    cols.extend([zero] * (_N_OUT - len(cols)))
+    contrib = jnp.stack(cols, axis=1)  # (bq, 64)
+    acc_ref[0, :] += jnp.sum(contrib, axis=0)
 
     # Per-point correspondence data for the trust region's error() calls
     # (compute_error reuses the linearization's correspondences,

@@ -97,10 +97,14 @@ def point_covariances(
 
 # Fused Pallas linearization (ops.pallas_gicp): the whole GICP iteration
 # (distances, first-argmin, one-hot MXU payload gather, Mahalanobis, H/g
-# reduction) runs per source tile in VMEM instead of ~100 small XLA ops
-# over (N, 3, 3) HBM intermediates. The XLA formulation below is kept as
-# the reference implementation for parity tests (tests/test_pallas_gicp).
-_USE_FUSED_LINEARIZE = True
+# reduction) per source tile in VMEM. MEASURED NEGATIVE at bench shapes
+# (chain_rerank.py): 4.55 vs 3.87 ms/query — the payload gather must run
+# the MXU at f32 (6 passes; bf16 quantizes gathered coordinates ~2 cm at
+# 20 m, observed on chip), which costs more than the XLA path's
+# issue-bound row gathers + elementwise chain. Kept selectable (exact to
+# 1e-7 vs the XLA formulation, tests/test_pallas_gicp) for cloud shapes
+# where the trade flips (small T, many iterations).
+_USE_FUSED_LINEARIZE = False
 
 
 def _gicp_align_fused(
