@@ -69,20 +69,31 @@ def main():
     )
     print(f"[bench] world: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # Map DB build: one vmapped descriptor pass over all keyframes.
-    # Sub-phase timers attribute the wall time: on the axon relay backend
-    # ALL compilation is server-side (no local persistent cache), so the
-    # db phase is dominated by two cold remote compiles (the vmapped
-    # descriptor builder and the DB assembler) whose latency varies with
-    # compile-service load — the source of the 97 s (r01) vs 385 s (r02)
-    # swing flagged by VERDICT r2 weak #2. The compute itself is seconds.
+    # Map DB build: CHUNKED vmapped descriptor passes (round 5, VERDICT r4
+    # next-#4) — every dispatch carries a fixed 32-frame batch, so the
+    # remote compile is of one SMALL program reused across map sizes and
+    # across processes via the server-side compile cache. The previous
+    # whole-map vmapped program's compile scaled with map size and
+    # dominated the 152-300 s cold db phase (compute is seconds).
+    from sgtd_tpu.eval.runner import build_descriptors_chunked
+
     t0 = time.time()
     map_batch = stack(maps)
-    build_many = jax.jit(
-        jax.vmap(functools.partial(build_descriptors, cfg=cfg.desc, caps=cfg.caps))
+    map_descs = jax.block_until_ready(
+        build_descriptors_chunked(map_batch, cfg)
     )
-    map_descs = jax.block_until_ready(build_many(map_batch))
     t_desc = time.time() - t0
+    # Sample descriptors for scan-slot calibration are built HERE, with
+    # the PRE-tuning config: tuned_config changes caps (a static jit arg
+    # of the builder), and building the sample after it recompiled the
+    # whole 32-frame builder for a bucket_cap change that descriptor
+    # construction never reads (measured: 79 s calibrate phase).
+    query_batch_all = stack(queries)
+    n_sample = 16
+    sample = jax.tree_util.tree_map(
+        lambda x: x[:n_sample], query_batch_all
+    )
+    sample_descs = build_descriptors_chunked(sample, cfg)
     t1 = time.time()
     db, report = build_database_on_device(
         map_descs, map_batch.pose, cfg.desc
@@ -91,23 +102,8 @@ def main():
     t_asm = time.time() - t1
     cfg = tuned_config(cfg, report)
     # Fit the ragged-scan cap on the first query chunk (probe work scales
-    # with it; the fit is one tiny jit program). The sample is padded to the
-    # map batch's leading shape so build_many REUSES the map-build compile
-    # instead of provoking a second cold remote compile at batch 16 — the
-    # bulk of round 3's 54 s calibrate phase (VERDICT r3 next-#4).
+    # with it; the fit is one tiny jit program).
     t1 = time.time()
-    query_batch_all = stack(queries)
-    n_sample = 16
-    sample = jax.tree_util.tree_map(
-        lambda x: jnp.concatenate(
-            [x[:n_sample], jnp.repeat(x[:1], num_map - n_sample, axis=0)],
-            axis=0,
-        ),
-        query_batch_all,
-    )
-    sample_descs = jax.tree_util.tree_map(
-        lambda x: x[:n_sample], build_many(sample)
-    )
     cfg = calibrate_scan_slots(db, sample_descs, cfg)
     t_cal = time.time() - t1
     print(
@@ -122,7 +118,7 @@ def main():
 
     # Map keyframe clouds + GICP covariances: per-keyframe, pose-independent
     # -> precomputed once, pinned on device (map-build side, excluded).
-    from sgtd_tpu.data.synthetic import render_cloud
+    from sgtd_tpu.data.synthetic import render_planar_cloud
     from sgtd_tpu.refine.gicp import point_covariances
     from sgtd_tpu.match.pipeline import localize_refined
 
@@ -131,6 +127,12 @@ def main():
     # the query/source cloud is voxel-downsampled at SG_data/leaf_size (3.0,
     # config/SG_localization.yaml:14) before GICP; the map/target keyframe
     # cloud is used RAW (its downsample is commented out, :681-688).
+    # Clouds are DETERMINISTIC-surface renders (panels + ground) since
+    # round 5: map and query clouds sample the same world surfaces, so the
+    # GICP rerank aligns real geometry — like the reference's LiDAR clouds.
+    # The legacy per-observation random blobs gave refinement no true
+    # optimum, and its noise was what the divergence guard had to absorb
+    # (the round-4 SR dip, BENCH_NOTES r4 caveats).
     cloud_pts = 4096  # raw render size (map targets stay at this)
     # Post-downsample static cap for query sources: measured max over the
     # bench's 64 queries is 849 voxels at leaf 3.0 (min 636, mean 789) —
@@ -141,7 +143,8 @@ def main():
 
     rng = np.random.default_rng(77)
     m_clouds, m_masks = zip(
-        *(render_cloud(world, p, rng, max_points=cloud_pts) for p in world.map_poses)
+        *(render_planar_cloud(world, p, rng, max_points=cloud_pts)
+          for p in world.map_poses)
     )
     map_clouds = jnp.asarray(np.stack(m_clouds))
     map_masks = jnp.asarray(np.stack(m_masks))
@@ -150,7 +153,7 @@ def main():
     )(map_clouds, map_masks)
     q_clouds, q_masks = [], []
     for p in world.query_poses:
-        c, m = render_cloud(world, p, rng, max_points=cloud_pts)
+        c, m = render_planar_cloud(world, p, rng, max_points=cloud_pts)
         qc, qm = load_query_cloud(c[m], cfg.gicp.leaf_size, src_pts)
         q_clouds.append(qc)
         q_masks.append(qm)
@@ -277,11 +280,14 @@ def main():
         f"SR={sr:.3f}",
         file=sys.stderr,
     )
-    if sr < 0.9:
+    if sr < 0.95:
         # Hard gate: a throughput number with broken accuracy is invalid.
         # Emit no metric line and exit nonzero so the driver records failure.
+        # 0.9 -> 0.95 in round 5 (VERDICT r4 next-#7): with deterministic
+        # surface clouds + the per-candidate guard the expected SR is 1.000,
+        # so a two-query slide now fails loudly.
         print(
-            f"[bench] FAIL: success rate {sr:.3f} below 0.9 gate — "
+            f"[bench] FAIL: success rate {sr:.3f} below 0.95 gate — "
             "throughput metric withheld",
             file=sys.stderr,
         )

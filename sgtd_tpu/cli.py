@@ -79,8 +79,18 @@ def _cmd_build_map(args):
         print(f"[build-map] wrote {len(graphs)} local-map graphs to {args.out}")
         return
 
+    # Wild-Places profile (ref get_json_wild.cpp — the variant the reference
+    # declares but never builds, CMakeLists.txt:180-182): 3-float .bin
+    # stride, 13-class identity routing.
+    from sgtd_tpu.graph.build import MULRAN_ROUTING, WILD_ROUTING
+
+    routing = WILD_ROUTING if args.dataset == "wild" else MULRAN_ROUTING
+
     for i, (sp, lp) in enumerate(zip(scans, labels)):
-        pts = readers.read_bin(sp)[:, :3]
+        if args.dataset == "wild":
+            pts = readers.read_bin_wild(sp)
+        else:
+            pts = readers.read_bin(sp)[:, :3]
         sem, inst = readers.read_label(lp)
         if args.dataset == "kitti":
             sem = readers.to_reference_train_ids(readers.remap_semantic_kitti(sem))
@@ -98,7 +108,7 @@ def _cmd_build_map(args):
         pose = poses[i] if poses is not None else np.eye(4, dtype=np.float32)
         g = build_graph(
             jnp.asarray(p), jnp.asarray(s), jnp.asarray(ii), jnp.asarray(mask),
-            pose.astype(np.float32), cfg.caps, dcvc,
+            pose.astype(np.float32), cfg.caps, dcvc, routing,
         )
         base = os.path.splitext(os.path.basename(sp))[0]
         write_graph_json(os.path.join(args.out, base + ".json"), g)
@@ -185,7 +195,14 @@ def _cmd_localize(args):
         )
 
         if os.path.exists(args.map_artifacts):
-            artifacts = load_map_artifacts(args.map_artifacts)
+            # Consistency-validated load: frame count + GICP fingerprint
+            # must match the freshly built DB (a stale file would be
+            # silently mis-gathered under jit, ADVICE r4 medium).
+            artifacts = load_map_artifacts(
+                args.map_artifacts,
+                expect_frames=index.db.frame_poses.shape[0],
+                expect_gicp=cfg.gicp,
+            )
             print(f"[localize] loaded map artifacts: {args.map_artifacts}",
                   file=sys.stderr)
         else:
@@ -193,7 +210,7 @@ def _cmd_localize(args):
                 map_cloud_fn, len(map_graphs), cfg.gicp,
                 f_pad=index.db.frame_poses.shape[0],
             )
-            save_map_artifacts(args.map_artifacts, artifacts)
+            save_map_artifacts(args.map_artifacts, artifacts, cfg.gicp)
             print(f"[localize] built+saved map artifacts: "
                   f"{args.map_artifacts}", file=sys.stderr)
 
@@ -279,7 +296,8 @@ def main(argv=None):
     b.add_argument("--labels", required=True)
     b.add_argument("--poses", default=None)
     b.add_argument("--calib", default=None)
-    b.add_argument("--dataset", choices=["kitti", "mulran", "raw"], default="kitti")
+    b.add_argument("--dataset", choices=["kitti", "mulran", "raw", "wild"],
+                   default="kitti")
     b.add_argument("--sequence", default=None)
     b.add_argument("--label-corrupt-rate", type=float, default=0.0)
     b.add_argument("--local-map-radius", type=float, default=0.0,

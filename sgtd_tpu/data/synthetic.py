@@ -50,8 +50,16 @@ def make_world(
     num_queries: int = 20,
     keyframe_spacing_m: float = 8.0,
     query_offset_m: float = 3.0,
-) -> SyntheticWorld:
-    """A looping trajectory through a field of labelled instances."""
+) -> "HardWorld":
+    """A looping trajectory through a field of labelled instances.
+
+    Returns a :class:`HardWorld` (per-instance panel heading/size included)
+    so :func:`render_planar_cloud` works on it: map and query clouds are
+    then independent samplings of the SAME deterministic surfaces, giving
+    GICP a true optimum — like the reference's real LiDAR clouds, unlike
+    the legacy :func:`render_cloud` blobs whose per-observation randomness
+    made refinement a noise source (BENCH_NOTES r3 ablation).
+    """
     area = extent_m * extent_m
     m = int(area / 100.0 * instances_per_100m2)
     xyz = np.column_stack(
@@ -62,6 +70,10 @@ def make_world(
         ]
     ).astype(np.float32)
     labels = rng.choice(NODE_LABELS, size=m, p=LABEL_WEIGHTS / LABEL_WEIGHTS.sum())
+    yaws = rng.uniform(0.0, np.pi, m).astype(np.float32)
+    sizes = np.column_stack(
+        [rng.uniform(3.0, 8.0, m), rng.uniform(2.5, 6.0, m)]
+    ).astype(np.float32)
 
     # Map trajectory: a loop of radius ~extent/3.
     r = extent_m / 3.0
@@ -86,7 +98,14 @@ def make_world(
             for t in q_thetas
         ]
     )
-    return SyntheticWorld(xyz, labels, map_poses, query_poses)
+    return HardWorld(
+        instance_xyz=xyz,
+        instance_label=labels,
+        map_poses=map_poses,
+        query_poses=query_poses,
+        instance_yaw=yaws,
+        instance_size=sizes,
+    )
 
 
 def observe(

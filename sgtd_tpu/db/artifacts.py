@@ -25,7 +25,36 @@ from sgtd_tpu.config import GicpConfig
 from sgtd_tpu.refine.gicp import point_covariances
 from sgtd_tpu.refine.vgicp import GaussianVoxelMap, build_voxel_maps
 
-ARTIFACTS_FORMAT_VERSION = 1
+ARTIFACTS_FORMAT_VERSION = 2
+
+
+def gicp_fingerprint(cfg: GicpConfig) -> str:
+    """Artifact-relevant GICP parameters: anything that changes the
+    persisted covariances or voxel maps. Loading artifacts built under a
+    different fingerprint would silently refine against wrong statistics
+    (JAX clamps out-of-range gathers under jit — no error surfaces)."""
+    return (
+        f"nn={cfg.num_neighbors};eps={cfg.plane_eps};"
+        f"vres={cfg.voxel_resolution};vmode={cfg.voxel_mode}"
+    )
+
+
+def validate_map_artifacts(art: "MapArtifacts", db, gcfg: GicpConfig) -> None:
+    """Raise if artifacts cannot index-align with this DB's keyframes.
+
+    The per-candidate gathers ``art.clouds[fk]`` use frame ids from the DB;
+    a stale artifact file (DB rebuilt with more keyframes or different
+    padding) would be silently mis-gathered under jit (ADVICE r4 medium).
+    """
+    f_pad = db.frame_poses.shape[0]
+    if art.clouds.shape[0] != f_pad:
+        raise ValueError(
+            f"map artifacts cover {art.clouds.shape[0]} (padded) keyframes "
+            f"but the DB has {f_pad}: the DB was rebuilt since the artifacts "
+            "were saved — rebuild them (db.artifacts.build_map_artifacts)"
+        )
+    if gcfg.engine == "vgicp" and art.vmaps is None and art.covs is None:
+        raise ValueError("vgicp rerank needs vmaps or covs in the artifacts")
 
 
 class MapArtifacts(NamedTuple):
@@ -86,28 +115,60 @@ def build_map_artifacts(
     return MapArtifacts(clouds=clouds, masks=masks, covs=covs, vmaps=vmaps)
 
 
-def save_map_artifacts(path: str, art: MapArtifacts) -> None:
-    """Persist next to the DB .npz; load is a device_put, not a rebuild."""
+def save_map_artifacts(
+    path: str,
+    art: MapArtifacts,
+    gicp_cfg: GicpConfig | None = None,
+) -> None:
+    """Persist next to the DB .npz; load is a device_put, not a rebuild.
+
+    ``gicp_cfg`` stamps the file with :func:`gicp_fingerprint` so a later
+    load under different covariance/voxel parameters fails loudly instead
+    of refining against stale statistics.
+    """
     fields = {
         "format_version": np.int32(ARTIFACTS_FORMAT_VERSION),
         "clouds": np.asarray(art.clouds),
         "masks": np.asarray(art.masks),
         "covs": np.asarray(art.covs),
     }
+    if gicp_cfg is not None:
+        fields["gicp_fingerprint"] = np.asarray(gicp_fingerprint(gicp_cfg))
     if art.vmaps is not None:
         for k, v in art.vmaps._asdict().items():
             fields[f"vmap_{k}"] = np.asarray(v)
     np.savez_compressed(path, **fields)
 
 
-def load_map_artifacts(path: str) -> MapArtifacts:
+def load_map_artifacts(
+    path: str,
+    expect_frames: int | None = None,
+    expect_gicp: GicpConfig | None = None,
+) -> MapArtifacts:
+    """Load artifacts; raise on format, frame-count, or GICP-parameter
+    mismatch (``expect_frames`` = the DB's PADDED keyframe count,
+    ``db.frame_poses.shape[0]``)."""
     z = np.load(path)
     version = int(z["format_version"]) if "format_version" in z else 0
-    if version != ARTIFACTS_FORMAT_VERSION:
+    if version not in (1, ARTIFACTS_FORMAT_VERSION):
         raise ValueError(
             f"{path}: map-artifacts format v{version} is incompatible with "
             f"v{ARTIFACTS_FORMAT_VERSION} — rebuild with build_map_artifacts"
         )
+    if expect_frames is not None and z["clouds"].shape[0] != expect_frames:
+        raise ValueError(
+            f"{path}: artifacts cover {z['clouds'].shape[0]} (padded) "
+            f"keyframes but the DB has {expect_frames} — the DB was rebuilt "
+            "since these artifacts were saved; rebuild them"
+        )
+    if expect_gicp is not None and "gicp_fingerprint" in z:
+        want = gicp_fingerprint(expect_gicp)
+        got = str(z["gicp_fingerprint"])
+        if got != want:
+            raise ValueError(
+                f"{path}: artifacts were built under GICP params [{got}] "
+                f"but the current config is [{want}] — rebuild them"
+            )
     vmaps = None
     if "vmap_keys" in z:
         vmaps = GaussianVoxelMap(

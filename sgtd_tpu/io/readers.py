@@ -76,6 +76,16 @@ def read_bin(path: str) -> np.ndarray:
     return data[: n * 4].reshape(n, 4)
 
 
+def read_bin_wild(path: str) -> np.ndarray:
+    """Read a Wild-Places-style .bin scan -> (N, 3) float32 [x, y, z].
+
+    The wild pipeline's scans carry no intensity channel (3-float stride,
+    ref get_json_wild.cpp:119-131 vs get_json.cpp:47-58's 4-float)."""
+    data = np.fromfile(path, dtype=np.float32)
+    n = data.size // 3
+    return data[: n * 3].reshape(n, 3)
+
+
 def read_label(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Read a .label file -> (semantic (N,), instance (N,)) int32."""
     raw = np.fromfile(path, dtype=np.uint32)

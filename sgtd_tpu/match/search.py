@@ -289,11 +289,12 @@ def probe_and_hits(
     # segment_sum lowers to a serialized HBM scatter-add on TPU — measured
     # 0.91 ms/query at bench shapes vs 0.07 ms for the Pallas tiled
     # one-hot-matmul kernel (tools/probe_opt_bench.py, bit-identical).
-    # The kernel's one-hot tile is (2048, F), so it only applies while the
-    # padded frame count keeps that tile in VMEM; wide-frame DBs keep the
-    # scatter-add.
+    # The kernel's one-hot is frame-axis-chunked (512-wide tiles, ADVICE r4
+    # low), so VMEM is bounded for any f_pad; the gate is the COMPARE cost,
+    # which grows as L x f_pad — beyond ~8k padded frames the serialized
+    # scatter-add wins back.
     f_pad = db.frame_poses.shape[0]
-    if f_pad <= 2048:
+    if f_pad <= 8192:
         from sgtd_tpu.ops.pallas_probe import frame_votes
 
         votes = frame_votes(hit, frame_of_hit, f_pad)

@@ -29,9 +29,10 @@ def _interpret() -> bool:
 
 
 _TILE = 2048  # L-tile per grid step for the vote kernel
+_F_CHUNK = 512  # frame-axis chunk of the in-kernel one-hot (bounds VMEM)
 
 
-def _votes_kernel(hit_ref, frame_ref, out_ref, acc_ref, *, f_pad: int):
+def _votes_kernel(hit_ref, frame_ref, out_ref, acc_ref, *, f_pad_p: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -40,16 +41,22 @@ def _votes_kernel(hit_ref, frame_ref, out_ref, acc_ref, *, f_pad: int):
 
     hit = hit_ref[:].astype(jnp.float32)  # (1, T)
     frame = frame_ref[:]  # (1, T)
-    # One-hot in VMEM: (T, F) tile, then (1, T) @ (T, F) on the MXU.
-    onehot = (
-        frame[0][:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (_TILE, f_pad), 1)
-    ).astype(jnp.float32)
-    acc_ref[:] += jax.lax.dot_general(
-        hit, onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # One-hot in VMEM, CHUNKED along the frame axis (ADVICE r4 low: a full
+    # (T, f_pad) one-hot is 16 MiB at f_pad=2048 — at or above per-core
+    # VMEM once double-buffered inputs join it). Each chunk is a
+    # (T, _F_CHUNK) tile (4 MiB) consumed by one (1, T) @ (T, _F_CHUNK)
+    # MXU accumulate into the persistent (1, f_pad_p) accumulator.
+    for f0 in range(0, f_pad_p, _F_CHUNK):
+        fw = min(_F_CHUNK, f_pad_p - f0)
+        onehot = (
+            frame[0][:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (_TILE, fw), 1) + f0
+        ).astype(jnp.float32)
+        acc_ref[:, f0 : f0 + fw] += jax.lax.dot_general(
+            hit, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -70,19 +77,22 @@ def frame_votes(hit: jnp.ndarray, frame: jnp.ndarray, f_pad: int) -> jnp.ndarray
         hit = jnp.concatenate([hit, jnp.zeros((pad,), hit.dtype)])
         frame = jnp.concatenate([frame, jnp.full((pad,), f_pad, jnp.int32)])
     lt = hit.shape[0]
+    f_pad_p = -(-f_pad // 128) * 128  # lane-aligned accumulator/chunks
     out = pl.pallas_call(
-        functools.partial(_votes_kernel, f_pad=f_pad),
+        functools.partial(_votes_kernel, f_pad_p=f_pad_p),
         grid=(lt // _TILE,),
         in_specs=[
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, f_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, f_pad), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (1, f_pad_p), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, f_pad_p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, f_pad_p), jnp.float32)],
         interpret=_interpret(),
     )(hit.reshape(1, lt), frame.reshape(1, lt))
-    return out[0]
+    return out[0, :f_pad]
 
 
 def _gather_kernel(tbl_ref, idx_ref, out_ref):

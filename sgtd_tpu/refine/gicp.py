@@ -52,9 +52,41 @@ def _bsum_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 class GicpResult(NamedTuple):
-    transform: jnp.ndarray  # (4, 4) refined src -> tgt
-    fitness: jnp.ndarray  # () mean squared NN distance
-    num_inliers: jnp.ndarray  # () correspondences within threshold
+    """transform: (4, 4) refined src -> tgt.
+    fitness:      () mean squared NN distance over all valid source points
+                  (PCL getFitnessScore default semantics — dominated by
+                  view-overlap geometry when the fields of view differ).
+    num_inliers:  () correspondences within fitness_radius_m.
+    fitness_gated:() mean squared NN distance over ONLY the
+                  fitness_radius_m inliers — measures local surface
+                  alignment, independent of overlap.
+    inlier_frac:  () inlier fraction of valid source points — measures
+                  overlap/coverage. The rerank pick combines the two gated
+                  measures; raw fitness is kept for reference parity."""
+
+    transform: jnp.ndarray
+    fitness: jnp.ndarray
+    num_inliers: jnp.ndarray
+    fitness_gated: jnp.ndarray
+    inlier_frac: jnp.ndarray
+
+
+def _fitness_stats(sqd: jnp.ndarray, valid: jnp.ndarray, cfg: GicpConfig):
+    """Raw + gated fitness statistics from final NN squared distances.
+
+    Raw fitness is PCL getFitnessScore over all valid pairs (consumed at
+    semantic_graph_localization.cpp:702-720); the gated pair
+    (fitness_gated, inlier_frac) separates surface alignment from view
+    overlap for the rerank pick (see GicpResult docstring)."""
+    sqd = jnp.maximum(sqd, 0.0)  # f32 cancellation at exact matches
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    fitness = jnp.sum(jnp.where(valid, sqd, 0.0)) / n_valid
+    r2 = jnp.float32(cfg.fitness_radius) ** 2
+    inl = valid & (sqd < r2)
+    n_inl = jnp.sum(inl.astype(jnp.float32))
+    fitness_gated = jnp.sum(jnp.where(inl, sqd, 0.0)) / jnp.maximum(n_inl, 1.0)
+    inlier_frac = n_inl / n_valid
+    return fitness, n_inl.astype(jnp.int32), fitness_gated, inlier_frac
 
 
 def knn_indices(
@@ -162,12 +194,15 @@ def _gicp_align_fused(
     moved = src @ T_final[:3, :3].T + T_final[:3, 3]
     nn, sqd = pallas_nn.nn1(moved, tgt_eff)
     valid = src_mask & tgt_mask[nn]
-    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    fitness = jnp.sum(jnp.where(valid, jnp.maximum(sqd, 0.0), 0.0)) / n_valid
+    fitness, n_inl, fitness_gated, inlier_frac = _fitness_stats(
+        sqd, valid, cfg
+    )
     return GicpResult(
         transform=T_final,
         fitness=fitness,
-        num_inliers=jnp.sum(valid.astype(jnp.int32)),
+        num_inliers=n_inl,
+        fitness_gated=fitness_gated,
+        inlier_frac=inlier_frac,
     )
 
 
@@ -283,14 +318,15 @@ def gicp_align(
     moved = src @ T_final[:3, :3].T + T_final[:3, 3]
     nn, sqd = nn_of(moved)
     valid = src_mask & tgt_mask[nn]
-    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    # Clamp: residual f32 cancellation in the matmul expansion can leave
-    # tiny negative squared distances at exact matches.
-    fitness = jnp.sum(jnp.where(valid, jnp.maximum(sqd, 0.0), 0.0)) / n_valid
+    fitness, n_inl, fitness_gated, inlier_frac = _fitness_stats(
+        sqd, valid, cfg
+    )
     return GicpResult(
         transform=T_final,
         fitness=fitness,
-        num_inliers=jnp.sum(valid.astype(jnp.int32)),
+        num_inliers=n_inl,
+        fitness_gated=fitness_gated,
+        inlier_frac=inlier_frac,
     )
 
 

@@ -181,4 +181,11 @@ def lm_solve(
         (jnp.int32(0), T0, jnp.asarray(-1.0, dt), jnp.asarray(False),
          jnp.asarray(jnp.inf, dt)),
     )
+    # final_cost is the LINEARIZATION cost at entry to the final executed
+    # iteration — one accepted step STALE relative to the returned
+    # transform (the pre-round-4 scan version evaluated at the converged
+    # T). Nothing downstream consumes it (the rerank pick uses the gated
+    # fitness statistics, refine.gicp._fitness_stats); callers needing the
+    # exact converged cost should evaluate error(T) once after the solve
+    # (ADVICE r4 low, documented semantics).
     return LsqResult(transform=T, converged=done, final_cost=y)

@@ -177,6 +177,12 @@ class VgicpResult(NamedTuple):
     fitness: jnp.ndarray  # () mean sq distance to matched voxel means
     num_inliers: jnp.ndarray  # () matched correspondences (DIRECT1)
     converged: jnp.ndarray  # () bool
+    # Gated alignment measures mirroring refine.gicp.GicpResult (the
+    # rerank pick is engine-uniform): gated by cfg.fitness_radius over the
+    # DIRECT1 voxel-mean distances; unmatched source points count against
+    # inlier_frac (no voxel within reach = no overlap there).
+    fitness_gated: jnp.ndarray
+    inlier_frac: jnp.ndarray
 
 
 def vgicp_align(
@@ -273,11 +279,20 @@ def vgicp_align(
     ok = found1[:, 0]
     n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
     fitness = jnp.sum(jnp.where(ok, sqd, 0.0)) / n_ok
+    # Gated measures vs ALL valid source points: a point with no DIRECT1
+    # voxel is a non-overlap point, exactly like a far NN in plain GICP.
+    r2 = jnp.float32(cfg.fitness_radius) ** 2
+    inl = ok & (sqd < r2)
+    n_inl = jnp.sum(inl.astype(jnp.float32))
+    n_valid = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
     return VgicpResult(
         transform=T,
         fitness=fitness,
-        num_inliers=jnp.sum(ok.astype(jnp.int32)),
+        num_inliers=n_inl.astype(jnp.int32),
         converged=res.converged,
+        fitness_gated=jnp.sum(jnp.where(inl, sqd, 0.0))
+        / jnp.maximum(n_inl, 1.0),
+        inlier_frac=n_inl / n_valid,
     )
 
 

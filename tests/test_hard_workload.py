@@ -69,9 +69,16 @@ def test_hard_workload_gates():
 
     out_gicp = evaluate(
         index, queries, batch_size=16,
-        query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=4,
+        query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=5,
     )
-    assert out_gicp["success_rate"] >= sr - 1e-9, out_gicp
+    # FRAME RESCUE gate (VERDICT r4 next-#1/#7): when the correct frame
+    # sits in the top-5 but not at rank 1, the rerank must actually claim
+    # it — SR_gicp > SR_desc, not merely >=. Zero rescue passed forever
+    # under the old >= gate while ~8 SR points sat in R@5.
+    if out_desc["recall_at_5"] >= sr + 2 / len(queries):
+        assert out_gicp["success_rate"] >= sr + 0.02, (sr, out_gicp)
+    else:
+        assert out_gicp["success_rate"] >= sr - 1e-9, out_gicp
     assert out_gicp["rmse_trans_m"] < out_desc["rmse_trans_m"], (
         out_desc["rmse_trans_m"], out_gicp["rmse_trans_m"])
 

@@ -12,7 +12,7 @@ true optimum (refined RMSE < descriptor RMSE).
 Runs descriptor-only and GICP-refined configurations through
 eval.runner.evaluate (the reference-node analog), then checks pipeline
 found/best-frame agreement against the NumPy reference oracle on a query
-subsample. Writes HARD_EVAL_r04.json; summarized in BENCH_NOTES.md.
+subsample. Writes HARD_EVAL_r05.json; summarized in BENCH_NOTES.md.
 
 Run:  timeout 1150 python -u tools/hard_eval.py [num_map] [num_q]
 """
@@ -129,7 +129,8 @@ def main():
     t0 = time.time()
     out_gicp = evaluate(
         index, queries, batch_size=16,
-        query_cloud_fn=q_fn, map_cloud_fn=m_fn, rerank_k=4,
+        query_cloud_fn=q_fn, map_cloud_fn=m_fn,
+        rerank_k=int(os.environ.get("HARD_RERANK_K", "5")),
     )
     print(f"[hard] gicp eval: {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -148,7 +149,7 @@ def main():
         "gicp_refined": out_gicp,
         "oracle_subsample": agree,
     }
-    with open("HARD_EVAL_r04.json", "w") as f:
+    with open("HARD_EVAL_r05.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 
