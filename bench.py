@@ -47,12 +47,11 @@ def main():
 
     from sgtd_tpu import SGTDConfig
     from sgtd_tpu.data.synthetic import make_map_and_queries
-    from sgtd_tpu.db.device_build import build_database_on_device
     from sgtd_tpu.db.database import tuned_config
     from sgtd_tpu.desc import build_descriptors
     from sgtd_tpu.eval.metrics import rpe
     from sgtd_tpu.match.pipeline import localize
-    from sgtd_tpu.match.search import calibrate_scan_slots
+
     from sgtd_tpu.eval.runner import stack_graphs as stack
 
     cfg = SGTDConfig()
@@ -75,36 +74,71 @@ def main():
     # across processes via the server-side compile cache. The previous
     # whole-map vmapped program's compile scaled with map size and
     # dominated the 152-300 s cold db phase (compute is seconds).
-    from sgtd_tpu.eval.runner import build_descriptors_chunked
+    import threading
+
+    from sgtd_tpu.db.device_build import build_database_calibrated
+    from sgtd_tpu.eval.runner import BUILD_CHUNK, build_descriptors_chunked
+    from sgtd_tpu.match.search import fit_scan_slots
 
     t0 = time.time()
     map_batch = stack(maps)
+    n_sample = 16
+
+    # The db phase's floor is PER-PROGRAM compile-service latency (~25-70 s
+    # per distinct jit program on the relay, independent of the server
+    # compile cache — tools/db_build_prof.py). Two levers applied here:
+    # the assembler and the scan-slot calibration are ONE merged program
+    # (build_database_calibrated), and its compile is OVERLAPPED with the
+    # descriptor builder's by warming it on shape-identical zero dummies
+    # in a background thread while the main thread compiles the builder.
+    def _warm_assembler():
+        g_shapes = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                (BUILD_CHUNK,) + x.shape[1:], x.dtype
+            ),
+            map_batch,
+        )
+        d_shapes = jax.eval_shape(
+            lambda b: jax.vmap(
+                functools.partial(
+                    build_descriptors, cfg=cfg.desc, caps=cfg.caps
+                )
+            )(b),
+            g_shapes,
+        )
+        n_map = map_batch.centers.shape[0]
+        dd = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((n_map,) + s.shape[1:], s.dtype), d_shapes
+        )
+        ds = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((n_sample,) + s.shape[1:], s.dtype), d_shapes
+        )
+        dposes = jnp.zeros((n_map, 4, 4), jnp.float32)
+        jax.block_until_ready(
+            build_database_calibrated(dd, dposes, ds, cfg.desc)[0].keys
+        )
+
+    warm = threading.Thread(target=_warm_assembler)
+    warm.start()
     map_descs = jax.block_until_ready(
         build_descriptors_chunked(map_batch, cfg)
     )
     t_desc = time.time() - t0
-    # Sample descriptors for scan-slot calibration are built HERE, with
-    # the PRE-tuning config: tuned_config changes caps (a static jit arg
-    # of the builder), and building the sample after it recompiled the
-    # whole 32-frame builder for a bucket_cap change that descriptor
-    # construction never reads (measured: 79 s calibrate phase).
     query_batch_all = stack(queries)
-    n_sample = 16
     sample = jax.tree_util.tree_map(
         lambda x: x[:n_sample], query_batch_all
     )
     sample_descs = build_descriptors_chunked(sample, cfg)
+    warm.join()
     t1 = time.time()
-    db, report = build_database_on_device(
-        map_descs, map_batch.pose, cfg.desc
+    db, report, totals = build_database_calibrated(
+        map_descs, map_batch.pose, sample_descs, cfg.desc
     )
     jax.block_until_ready(db.keys)
     t_asm = time.time() - t1
     cfg = tuned_config(cfg, report)
-    # Fit the ragged-scan cap on the first query chunk (probe work scales
-    # with it; the fit is one tiny jit program).
     t1 = time.time()
-    cfg = calibrate_scan_slots(db, sample_descs, cfg)
+    cfg = fit_scan_slots(int(np.asarray(totals).max()), cfg)
     t_cal = time.time() - t1
     print(
         f"[bench] db: {time.time()-t0:.1f}s rows={report.num_rows} "

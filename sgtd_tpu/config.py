@@ -93,6 +93,16 @@ class CapacityConfig:
     # in-cell binary search; DBs whose used_cells x used_codes product
     # exceeds this fall back to bisection automatically.
     bucket_table_slots: int = 1 << 23
+    # Pair-extraction strategy switch: up to this many calibrated scan
+    # slots, hits are compacted per descriptor during the probe scan (the
+    # sel path — one L-sized scatter, cheapest at bench shapes); beyond
+    # it, pair lists are built CANDIDATE-MAJOR from the frame-major row
+    # index instead (match.search.extract_pairs_by_frame — cost
+    # independent of L, and the per-descriptor strided subsample is
+    # replaced by exact per-frame pair lists). Crossover measured on chip:
+    # the sel scatter costs ~4.7 ns/slot (34.7 ms at L=7.3M) while the
+    # candidate-major pass is ~15-20 ms flat — sel wins through ~4M slots.
+    sel_max_scan_slots: int = 4 << 20
 
 
 @dataclasses.dataclass(frozen=True)

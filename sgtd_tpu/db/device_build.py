@@ -194,6 +194,72 @@ def build_database_on_device(
     return db, report
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "table_slots"))
+def _assemble_and_totals(
+    descs: Descriptors,
+    poses: jnp.ndarray,
+    s_sides: jnp.ndarray,
+    s_labels: jnp.ndarray,
+    s_mask: jnp.ndarray,
+    cfg: DescriptorConfig,
+    table_slots: int,
+):
+    """_assemble + the scan-slot calibration totals in ONE program.
+
+    The assemble and calibrate steps each paid a full compile-service
+    round trip (~25-70 s apiece on the relay backend, regardless of the
+    server compile cache — measured in tools/db_build_prof.py); fusing the
+    sample-probe totals into the assembler removes one of them (VERDICT r4
+    next-#4)."""
+    from sgtd_tpu.desc.keys import probe_cells
+    from sgtd_tpu.match.search import _bucket_lookup
+
+    db, stats = _assemble(descs, poses, cfg, table_slots)
+
+    def one(s, lab, msk):
+        cells, code, gate = probe_cells(s, lab, cfg)
+        st, en, ok = _bucket_lookup(db, cells, code, gate & msk[:, None], None)
+        return jnp.sum(jnp.where(ok, en - st, 0))
+
+    totals = jax.vmap(one)(s_sides, s_labels, s_mask)
+    return db, stats, totals
+
+
+def build_database_calibrated(
+    descs: Descriptors,
+    poses: jnp.ndarray,
+    sample_descs: Descriptors,
+    cfg: DescriptorConfig = DescriptorConfig(),
+    bucket_cap_for_report: int = 256,
+    table_slots: int = 1 << 23,
+) -> Tuple[DescriptorDB, DBBuildReport, jnp.ndarray]:
+    """build_database_on_device plus per-sample-query probe-scan totals
+    (feed ``totals.max()`` to ``match.search.fit_scan_slots``)."""
+    db, stats, totals = _assemble_and_totals(
+        descs, jnp.asarray(poses), sample_descs.sides, sample_descs.labels,
+        sample_descs.mask, cfg, table_slots,
+    )
+    n_rows, n_buckets, max_bucket, n_cells, max_cell, stride = (
+        int(x) for x in np.asarray(stats)
+    )
+    m_pad = db.keys.shape[0]
+    if m_pad >= MAX_TABLE_ROWS or n_cells * stride > table_slots:
+        db = db._replace(
+            bucket_table=jnp.zeros((0, 2), jnp.uint32),
+            cell_remap=jnp.zeros(0, jnp.int32),
+            code_remap=jnp.zeros(0, jnp.int32),
+        )
+    report = DBBuildReport(
+        num_rows=n_rows,
+        num_frames=int(descs.mask.shape[0]),
+        num_cells=n_cells,
+        max_bucket=max_bucket,
+        rows_beyond_cap=0 if max_bucket <= bucket_cap_for_report else -1,
+        max_cell_bucket=max_cell,
+    )
+    return db, report, totals
+
+
 def append_database(
     db: DescriptorDB,
     new_descs: Descriptors,

@@ -76,8 +76,12 @@ class ProbeHits(NamedTuple):
     """Stage-1 output of :func:`probe_and_hits`.
 
     votes:     (F,) float32 per-frame vote tally (exact unless scan_overflow).
-    sel_row:   (D, U) int32 compacted DB row per kept hit.
-    sel_frame: (D, U) int32 frame of each kept hit (F = empty slot).
+    sel_row:   (D, U) int32 compacted DB row per kept hit — None when the
+               caller requested ``with_sel=False`` (candidate-major pair
+               extraction, used at scale where the L-sized sel scatter
+               dominates; see CapacityConfig.sel_max_scan_slots).
+    sel_frame: (D, U) int32 frame of each kept hit (F = empty slot); None
+               with ``with_sel=False``.
     scan_overflow: () bool — probe total exceeded caps.max_scan_slots.
     pair_overflow: () bool — some descriptor's hits were strided-subsampled.
     """
@@ -176,6 +180,7 @@ def probe_and_hits(
     search: SearchConfig,
     caps: CapacityConfig,
     row_offset: jnp.ndarray | None = None,
+    with_sel: bool = True,
 ) -> ProbeHits:
     """Stage 1: bucket probes + rough filter on (a shard of) the DB.
 
@@ -289,20 +294,36 @@ def probe_and_hits(
     # segment_sum lowers to a serialized HBM scatter-add on TPU — measured
     # 0.91 ms/query at bench shapes vs 0.07 ms for the Pallas tiled
     # one-hot-matmul kernel (tools/probe_opt_bench.py, bit-identical).
-    # The kernel's one-hot is frame-axis-chunked (512-wide tiles, ADVICE r4
-    # low), so VMEM is bounded for any f_pad; the gate is the COMPARE cost,
-    # which grows as L x f_pad — beyond ~8k padded frames the serialized
-    # scatter-add wins back.
+    # The flat kernel's one-hot is frame-axis-chunked (512-wide tiles,
+    # ADVICE r4 low) so VMEM is bounded, but its compare cost grows as
+    # L x f_pad; wide-frame DBs switch to the hierarchical hi/lo
+    # outer-product kernel (frame_votes_wide) whose compare cost is
+    # L x (f_pad/128 + 128) with the f_pad-proportional work on the MXU —
+    # at 20k keyframes the serialized segment_sum scatter-add it replaces
+    # measured 47.9 ms/query (tools/scale_probe_prof.py).
     f_pad = db.frame_poses.shape[0]
-    if f_pad <= 8192:
+    if f_pad <= 2048:
         from sgtd_tpu.ops.pallas_probe import frame_votes
 
         votes = frame_votes(hit, frame_of_hit, f_pad)
     else:
-        votes = jax.ops.segment_sum(
-            hit.astype(jnp.float32), frame_of_hit, num_segments=f_pad
-        )
+        from sgtd_tpu.ops.pallas_probe import frame_votes_wide
+
+        votes = frame_votes_wide(hit, frame_of_hit, f_pad)
     votes = jnp.where(db.frame_valid, votes, 0.0)
+
+    if not with_sel:
+        # Candidate-major pair extraction (extract_pairs_by_frame) will
+        # build the pair lists — skip the whole per-descriptor compaction
+        # (hcum cumsum, rank/stride arithmetic, and the L-sized sel
+        # scatter: serialized HBM updates that dominate at scale).
+        return ProbeHits(
+            votes=votes,
+            sel_row=None,
+            sel_frame=None,
+            scan_overflow=total > l_max,
+            pair_overflow=jnp.asarray(False),
+        )
 
     # --- compact hits per query descriptor for pair extraction. ---
     # The tally above is exact; pair lists are bounded by hits_per_descriptor
@@ -421,12 +442,23 @@ def candidate_search(
     search: SearchConfig = SearchConfig(),
     caps: CapacityConfig = CapacityConfig(),
 ) -> CandidateSet:
-    ph = probe_and_hits(db, query, cfg, search, caps)
+    # Static strategy switch (see CapacityConfig.sel_max_scan_slots): at
+    # scale the per-descriptor sel compaction is an L-sized serialized
+    # scatter; candidate-major extraction costs O(C x rows-per-frame)
+    # independent of L and yields EXACT per-frame pair lists.
+    use_sel = caps.max_scan_slots <= caps.sel_max_scan_slots
+    ph = probe_and_hits(db, query, cfg, search, caps, with_sel=use_sel)
     cand_votes, cand_frames, cand_valid = select_candidates(ph.votes, search)
-    pair_qidx, pair_row, pair_valid = extract_pairs(
-        ph.sel_row, ph.sel_frame, cand_frames, cand_valid,
-        caps.pairs_per_candidate, f_pad=db.frame_poses.shape[0],
-    )
+    if use_sel:
+        pair_qidx, pair_row, pair_valid = extract_pairs(
+            ph.sel_row, ph.sel_frame, cand_frames, cand_valid,
+            caps.pairs_per_candidate, f_pad=db.frame_poses.shape[0],
+        )
+    else:
+        pkeys, pdesc = build_probe_table(query, cfg)
+        pair_qidx, pair_row, pair_valid = extract_pairs_by_frame(
+            db, query, pkeys, pdesc, cand_frames, cand_valid, search, caps
+        )
     truncated = (
         ph.scan_overflow.astype(jnp.int32) * TRUNC_SCAN
         + ph.pair_overflow.astype(jnp.int32) * TRUNC_PAIRS
@@ -463,12 +495,19 @@ def calibrate_scan_slots(db, sample_queries, config, margin: float = 1.5):
         return jax.vmap(one)(qs)
 
     t = int(np.asarray(totals(sample_queries)).max())
-    # 8192-slot granularity instead of powers of two: every probe-stage op
-    # (the packed-word gathers, the delta-scatter expansions, the rough
-    # filter, the vote segment-sum) scales linearly with the cap, and pow2
-    # rounding wasted up to 2x (e.g. a 75k-slot workload padding to 131072
-    # instead of 114688 — measured 5.4 ms/query probe stage, chain_probe.py).
-    fitted = max(8192, -(-int(t * margin) // 8192) * 8192)
+    return fit_scan_slots(t, config, margin)
+
+
+def fit_scan_slots(observed_max: int, config, margin: float = 1.5):
+    """Turn an observed max probe-scan total into a fitted caps config.
+
+    8192-slot granularity instead of powers of two: every probe-stage op
+    (the packed-word gathers, the delta-scatter expansions, the rough
+    filter, the vote segment-sum) scales linearly with the cap, and pow2
+    rounding wasted up to 2x (e.g. a 75k-slot workload padding to 131072
+    instead of 114688 — measured 5.4 ms/query probe stage, chain_probe.py).
+    """
+    fitted = max(8192, -(-int(observed_max * margin) // 8192) * 8192)
     caps = dataclasses.replace(
         config.caps, max_scan_slots=min(fitted, config.caps.max_scan_slots)
     )
@@ -586,23 +625,32 @@ def extract_pairs_by_frame(
         search.rough_dis_threshold
     ) ** 2
 
-    matches = []
-    descs = []
-    for j in range(pk_max):
-        p = jnp.minimum(p_lo + j, n_probes - 1)
-        key_eq = (pkeys[p] == rowkey) & (rowkey != _I32_MAX)
-        qd = pdesc[p]  # (C, R)
-        da = sa - query.sides[qd, 0]
-        db_ = sb - query.sides[qd, 1]
-        dc = sc - query.sides[qd, 2]
-        dis2 = da * da + db_ * db_ + dc * dc
-        matches.append(key_eq & row_ok & (dis2 < thr2[qd]))
-        descs.append(qd)
-    match = jnp.stack(matches, axis=-1)  # (C, R, K)
-    qdesc = jnp.stack(descs, axis=-1)
+    # The pk_max probe entries after p_lo are CONTIGUOUS in the sorted
+    # probe table: fetch them as one 8-wide slice gather per (c, r)
+    # (vmapped dynamic_slice -> gather with slice_sizes, one fetch of 32 B
+    # per row) instead of pk_max separate random gathers — the passes were
+    # ~2x the stage's gather traffic at scale.
+    starts = jnp.minimum(p_lo, n_probes - pk_max).reshape(-1)
+
+    def _slice8(tab):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(tab, (s,), (pk_max,))
+        )(starts).reshape(c_n, r_max, pk_max)
+
+    pk = _slice8(pkeys)  # (C, R, K)
+    qdesc = _slice8(pdesc)
+    key_eq = (pk == rowkey[..., None]) & (rowkey[..., None] != _I32_MAX)
+    da = sa[..., None] - query.sides[qdesc, 0]
+    db_ = sb[..., None] - query.sides[qdesc, 1]
+    dc = sc[..., None] - query.sides[qdesc, 2]
+    dis2 = da * da + db_ * db_ + dc * dc
+    match = key_eq & row_ok[..., None] & (dis2 < thr2[qdesc])  # (C, R, K)
 
     # Compact per candidate: rank matches along the flattened (row, probe)
-    # axis, scatter the first p_cap into the pair list.
+    # axis, then ONE scatter of a packed 3-vector payload (qidx, row,
+    # valid) — three separate scatters tripled the serialized update count
+    # (819k updates each at the 2048-row frame bound; scatter cost is per
+    # update, tools/scale_probe_prof.py).
     flat_m = match.reshape(c_n, -1)
     flat_d = qdesc.reshape(c_n, -1)
     flat_r = jnp.broadcast_to(rows[..., None], match.shape).reshape(c_n, -1)
@@ -613,15 +661,13 @@ def extract_pairs_by_frame(
     )
     sc_c = jnp.where(keep, ci, c_n)
     sc_p = jnp.where(keep, rank, 0)
-    pair_qidx = (
-        jnp.zeros((c_n + 1, p_cap), jnp.int32).at[sc_c, sc_p].set(flat_d)[:c_n]
+    payload = jnp.stack(
+        [flat_d, flat_r, jnp.ones_like(flat_d)], axis=-1
+    )  # (C, RK, 3)
+    packed = (
+        jnp.zeros((c_n + 1, p_cap, 3), jnp.int32)
+        .at[sc_c, sc_p].set(payload)[:c_n]
     )
-    pair_row = (
-        jnp.zeros((c_n + 1, p_cap), jnp.int32).at[sc_c, sc_p].set(flat_r)[:c_n]
-    )
-    pair_valid = (
-        jnp.zeros((c_n + 1, p_cap), bool).at[sc_c, sc_p].set(True)[:c_n]
-    )
-    return pair_qidx, pair_row, pair_valid
+    return packed[..., 0], packed[..., 1], packed[..., 2] > 0
 
 

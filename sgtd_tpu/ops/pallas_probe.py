@@ -95,6 +95,81 @@ def frame_votes(hit: jnp.ndarray, frame: jnp.ndarray, f_pad: int) -> jnp.ndarray
     return out[0, :f_pad]
 
 
+_LO = 128  # lane-width low-bits split of the frame id
+
+
+def _votes_wide_kernel(hit_ref, frame_ref, out_ref, acc_ref, *, f_hi: int):
+    """Hierarchical one-hot tally: votes[hi, lo] += hit · [frame>>7==hi] ·
+    [frame&127==lo], accumulated per L-tile as ONE (F_hi, T) x (T, 128)
+    MXU outer-product matmul.
+
+    The wide-frame vote tally was the dominant probe op at 20k keyframes:
+    jax.ops.segment_sum lowers to a serialized HBM scatter-add measured at
+    47.9 ms for L=7.3M / f_pad=20016 (tools/scale_probe_prof.py). Here the
+    compare cost is L x (F_hi + 128) ~ L x sqrt-ish instead of L x f_pad
+    (the flat one-hot kernel above), and the f_pad-proportional work rides
+    the MXU: L x f_pad MACs ~ 146G at scale shapes, a few ms."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hit = hit_ref[:].astype(jnp.float32)  # (1, T)
+    frame = frame_ref[:]  # (1, T)
+    hi = frame[0] >> 7
+    lo = frame[0] & 127
+    # hit folds into the hi-side one-hot; out-of-range ids match nothing.
+    # bf16 one-hots: 0/1 are exact in bf16 and the MXU runs bf16 at 2x;
+    # the f32 accumulate (preferred_element_type) keeps integer counts
+    # exact below 2^24.
+    oh_hi = (
+        (hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (_TILE, f_hi), 1))
+        & (hit[0][:, None] > 0)
+    ).astype(jnp.bfloat16)  # (T, F_hi)
+    oh_lo = (
+        lo[:, None] == jax.lax.broadcasted_iota(jnp.int32, (_TILE, _LO), 1)
+    ).astype(jnp.bfloat16)  # (T, 128)
+    acc_ref[:] += jax.lax.dot_general(
+        oh_hi, oh_lo,
+        dimension_numbers=(((0,), (0,)), ((), ())),  # contract T
+        preferred_element_type=jnp.float32,
+    )  # (F_hi, 128)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("f_pad",))
+def frame_votes_wide(
+    hit: jnp.ndarray, frame: jnp.ndarray, f_pad: int
+) -> jnp.ndarray:
+    """Wide-frame variant of :func:`frame_votes`: same contract, any f_pad."""
+    l = hit.shape[0]
+    pad = (-l) % _TILE
+    if pad:
+        hit = jnp.concatenate([hit, jnp.zeros((pad,), hit.dtype)])
+        frame = jnp.concatenate([frame, jnp.full((pad,), f_pad, jnp.int32)])
+    lt = hit.shape[0]
+    f_hi = -(-f_pad // _LO) + 1  # +1 row absorbs the f_pad sentinel ids
+    out = pl.pallas_call(
+        functools.partial(_votes_wide_kernel, f_hi=f_hi),
+        grid=(lt // _TILE,),
+        in_specs=[
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (f_hi, _LO), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((f_hi, _LO), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((f_hi, _LO), jnp.float32)],
+        interpret=_interpret(),
+    )(hit.reshape(1, lt), frame.reshape(1, lt))
+    return out.reshape(-1)[:f_pad]
+
+
 def _gather_kernel(tbl_ref, idx_ref, out_ref):
     out_ref[:] = tbl_ref[idx_ref[:], :]
 

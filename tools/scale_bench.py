@@ -60,22 +60,38 @@ def main():
     print(f"[scale] world+graphs: {time.time()-t0:.1f}s "
           f"({num_map} keyframes, extent {extent:.0f} m)", file=sys.stderr)
 
-    # Device DB build, chunked vmap over keyframes (host->device transfer of
-    # stacked graphs is the only host involvement).
+    # Device DB build via the 32-frame chunked builder (ONE small compiled
+    # program at any map size, VERDICT r4 next-#4) + the merged
+    # assemble+calibrate program. Deep buckets at scale need a bigger
+    # ragged-scan budget than the bench default, so the budget cap is
+    # raised BEFORE any building (caps are a static arg of the builder —
+    # changing them afterwards would recompile it).
+    import dataclasses
+
+    from sgtd_tpu.db.device_build import build_database_calibrated
+    from sgtd_tpu.eval.runner import build_descriptors_chunked
+    from sgtd_tpu.match.search import fit_scan_slots
+
+    import os
+
+    sel_override = os.environ.get("SCALE_SEL", "")
+    sel_max = (1 << 30) if sel_override == "1" else (
+        0 if sel_override == "0" else SGTDConfig().caps.sel_max_scan_slots
+    )
+    cfg = cfg.replace(
+        caps=dataclasses.replace(
+            cfg.caps, max_scan_slots=1 << 23, sel_max_scan_slots=sel_max
+        )
+    )
     t0 = time.time()
     map_batch = stack_graphs(maps)
-    build_many = jax.jit(
-        jax.vmap(functools.partial(build_descriptors, cfg=cfg.desc, caps=cfg.caps))
+    map_descs = build_descriptors_chunked(map_batch, cfg)
+    qb = stack_graphs(queries)
+    sample = jax.tree_util.tree_map(lambda x: x[:16], qb)
+    sample_descs = build_descriptors_chunked(sample, cfg)
+    db, report, totals = build_database_calibrated(
+        map_descs, map_batch.pose, sample_descs, cfg.desc
     )
-    chunk = 500
-    descs = []
-    for i in range(0, num_map, chunk):
-        take = jax.tree_util.tree_map(lambda x: x[i : i + chunk], map_batch)
-        descs.append(build_many(take))
-    map_descs = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs), *descs
-    )
-    db, report = build_database_on_device(map_descs, map_batch.pose, cfg.desc)
     jax.block_until_ready(db.keys)
     build_s = time.time() - t0
     rows = report.num_rows
@@ -85,20 +101,8 @@ def main():
         f"truncated={report.truncated_fraction():.4f}",
         file=sys.stderr,
     )
-
-    # Deep buckets at scale need a bigger ragged-scan budget than the bench
-    # default: let the calibration fit the true probe totals (probe cost
-    # scales with the fitted cap either way; clamping would silently
-    # truncate votes instead).
-    import dataclasses
-
-    cfg = cfg.replace(
-        caps=dataclasses.replace(cfg.caps, max_scan_slots=1 << 23)
-    )
     cfg = tuned_config(cfg, report)
-    qb = stack_graphs(queries)
-    sample = jax.tree_util.tree_map(lambda x: x[:16], qb)
-    cfg = calibrate_scan_slots(db, build_many(sample), cfg)
+    cfg = fit_scan_slots(int(np.asarray(totals).max()), cfg)
     print(f"[scale] scan_slots={cfg.caps.max_scan_slots} "
           f"bucket_cap={cfg.caps.bucket_cap}", file=sys.stderr)
 
