@@ -625,26 +625,24 @@ def extract_pairs_by_frame(
         search.rough_dis_threshold
     ) ** 2
 
-    # The pk_max probe entries after p_lo are CONTIGUOUS in the sorted
-    # probe table: fetch them as one 8-wide slice gather per (c, r)
-    # (vmapped dynamic_slice -> gather with slice_sizes, one fetch of 32 B
-    # per row) instead of pk_max separate random gathers — the passes were
-    # ~2x the stage's gather traffic at scale.
-    starts = jnp.minimum(p_lo, n_probes - pk_max).reshape(-1)
-
-    def _slice8(tab):
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(tab, (s,), (pk_max,))
-        )(starts).reshape(c_n, r_max, pk_max)
-
-    pk = _slice8(pkeys)  # (C, R, K)
-    qdesc = _slice8(pdesc)
-    key_eq = (pk == rowkey[..., None]) & (rowkey[..., None] != _I32_MAX)
-    da = sa[..., None] - query.sides[qdesc, 0]
-    db_ = sb[..., None] - query.sides[qdesc, 1]
-    dc = sc[..., None] - query.sides[qdesc, 2]
-    dis2 = da * da + db_ * db_ + dc * dc
-    match = key_eq & row_ok[..., None] & (dis2 < thr2[qdesc])  # (C, R, K)
+    # pk_max separate gather passes over the probe table. (A "contiguous
+    # 8-wide slice gather" via vmapped dynamic_slice was measured 20x
+    # SLOWER — 235.8 vs 11.9 ms at scale shapes, tools/cm_prof.py: the
+    # batched dynamic_slice does not lower to a slice-sized gather.)
+    matches = []
+    descs = []
+    for j in range(pk_max):
+        p = jnp.minimum(p_lo + j, n_probes - 1)
+        key_eq = (pkeys[p] == rowkey) & (rowkey != _I32_MAX)
+        qd = pdesc[p]  # (C, R)
+        da = sa - query.sides[qd, 0]
+        db_ = sb - query.sides[qd, 1]
+        dc = sc - query.sides[qd, 2]
+        dis2 = da * da + db_ * db_ + dc * dc
+        matches.append(key_eq & row_ok & (dis2 < thr2[qd]))
+        descs.append(qd)
+    match = jnp.stack(matches, axis=-1)  # (C, R, K)
+    qdesc = jnp.stack(descs, axis=-1)
 
     # Compact per candidate: rank matches along the flattened (row, probe)
     # axis, then ONE scatter of a packed 3-vector payload (qidx, row,

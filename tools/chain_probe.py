@@ -64,9 +64,8 @@ def main():
         center_noise_m=0.05, dropout=0.1, label_corrupt_rate=0.05,
     )
     map_batch = stack(maps)
-    build_many = jax.jit(
-        jax.vmap(functools.partial(build_descriptors, cfg=cfg.desc, caps=cfg.caps))
-    )
+    from sgtd_tpu.eval.runner import build_descriptors_chunked
+    build_many = lambda b, _c=cfg: build_descriptors_chunked(b, _c)  # bind cfg eagerly: later tuned_config reassignments must not recompile the builder
     map_descs = build_many(map_batch)
     db, report = build_database_on_device(map_descs, map_batch.pose, cfg.desc)
     cfg = tuned_config(cfg, report)
@@ -76,7 +75,7 @@ def main():
     print(f"[probe] rows={report.num_rows} slots={cfg.caps.max_scan_slots}",
           file=sys.stderr)
     g16 = jax.tree_util.tree_map(lambda x: x[:CHUNK], qall)
-    q16 = jax.block_until_ready(jax.jit(build_many)(g16))
+    q16 = jax.block_until_ready(build_many(g16))
 
     l_max = cfg.caps.max_scan_slots
     d_max = q16.sides.shape[1]

@@ -78,9 +78,8 @@ def main():
         center_noise_m=0.05, dropout=0.1, label_corrupt_rate=0.05,
     )
     map_batch = stack(maps)
-    build_many = jax.jit(
-        jax.vmap(functools.partial(build_descriptors, cfg=cfg.desc, caps=cfg.caps))
-    )
+    from sgtd_tpu.eval.runner import build_descriptors_chunked
+    build_many = lambda b, _c=cfg: build_descriptors_chunked(b, _c)  # bind cfg eagerly: later tuned_config reassignments must not recompile the builder
     map_descs = build_many(map_batch)
     db, report = build_database_on_device(map_descs, map_batch.pose, cfg.desc)
     cfg = tuned_config(cfg, report)
