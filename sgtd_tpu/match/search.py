@@ -41,6 +41,24 @@ import numpy as np
 _I32_MAX = np.int32(2**31 - 1)
 
 
+def _use_expand_kernel(l_max: int) -> bool:
+    """Static gate for the sorted-heads Pallas expansion
+    (ops.pallas_expand.expand_jobs): TPU only (interpret mode would slow
+    CPU tests; parity is covered by tests/test_pallas_expand.py), scan
+    budget on the kernel's 8192-slot superblock granularity (guaranteed
+    by fit_scan_slots) and below the f32-exact head bound."""
+    import os
+
+    from sgtd_tpu.ops.pallas_expand import _TSUPER
+
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("SGTD_NO_EXPAND_KERNEL", "") != "1"
+        and l_max % _TSUPER == 0
+        and l_max < (1 << 24)
+    )
+
+
 class CandidateSet(NamedTuple):
     """Top-K candidate frames and their match-pair lists.
 
@@ -246,11 +264,50 @@ def probe_and_hits(
         buf = jnp.zeros(l_max, jnp.int32).at[heads].add(delta, mode="drop")
         return jnp.cumsum(buf)
 
-    # row = (start_j - head_j) + slot within segment j.
-    row = _expand(start.ravel() - heads) + slot
-    row_c = jnp.clip(row, 0, m_rows - 1)
     job_desc = jnp.arange(n_jobs, dtype=jnp.int32) // 27
 
+    # Rough side-length filter in the DB's own 1/256 fixed-point grid. The
+    # query sides are quantised to the same grid (max perturbation 1/512 of
+    # a cell — two orders below the rough threshold) so the per-slot query
+    # values expand through the exact integer delta/cumsum machinery
+    # instead of four more L-sized random gathers (q[desc, k], thr2[desc]
+    # — measured ~4 ms/query); thresholds are recomputed per slot on the
+    # VPU. 15-bit packing holds sides up to 127 cells — beyond the
+    # key-space validation bound.
+    qq = jnp.clip(jnp.round(query.sides * 256.0), 0, 32767).astype(jnp.int32)
+    qq_j = qq[job_desc]  # (NJ, 3) — job-level gather, 27x smaller than L
+    if _use_expand_kernel(l_max):
+        # Sorted-heads Pallas expansion (ops.pallas_expand): all channels
+        # in one pass with ONE staging scatter — the XLA path below pays
+        # one serialized NJ-sized scatter PER channel (the probe stage's
+        # largest single component at bench shapes, BENCH_NOTES kernel
+        # finding r4-#4). The row base is limb-split so every staged
+        # channel stays f32-exact (< 2^24).
+        from sgtd_tpu.ops.pallas_expand import expand_jobs
+
+        base = start.ravel() - heads + l_max  # >= 1, < m_rows + l_max
+        payload = jnp.stack(
+            [base >> 12, base & 4095,
+             qq_j[:, 0], qq_j[:, 1], qq_j[:, 2], job_desc],
+            axis=1,
+        )
+        ex = expand_jobs(length, payload, l_max)
+        row = ((ex[0] << 12) | ex[1]) - l_max + slot
+        q_a, q_b, q_c, desc = ex[2], ex[3], ex[4], ex[5]
+    else:
+        # row = (start_j - head_j) + slot within segment j; two more
+        # expansions carry all three sides + the descriptor id
+        # (delta/cumsum is linear, so the telescoped sum reproduces any
+        # PACKED integer exactly): (a << 15 | b) and (desc << 15 | c).
+        row = _expand(start.ravel() - heads) + slot
+        q_ab = _expand((qq_j[:, 0] << 15) | qq_j[:, 1])
+        dq_c = _expand((job_desc << 15) | qq_j[:, 2])
+        desc = dq_c >> 15  # nondecreasing
+        q_c = dq_c & 32767
+        q_a = q_ab >> 15
+        q_b = q_ab & 32767
+
+    row_c = jnp.clip(row, 0, m_rows - 1)
     w2 = db.packed2[row_c]  # (L, 2) uint32 — ONE 8-byte slice gather per row
     lo_w = w2[:, 0]
     hi_w = w2[:, 1]
@@ -258,28 +315,6 @@ def probe_and_hits(
         frame_of_hit = db.frame_ids[row_c]  # wide-frame DB: extra gather
     else:
         frame_of_hit = (hi_w >> 16).astype(jnp.int32)
-
-    # Rough side-length filter in the DB's own 1/256 fixed-point grid. The
-    # query sides are quantised to the same grid (max perturbation 1/512 of
-    # a cell — two orders below the rough threshold) so the per-slot query
-    # values expand through the exact integer delta/cumsum above instead of
-    # four more L-sized random gathers (q[desc, k], thr2[desc] — measured
-    # ~4 ms/query). Two expansions carry all three sides: (a << 15 | b)
-    # and c; thresholds are recomputed per slot on the VPU. 15-bit packing
-    # holds sides up to 127 cells — beyond the key-space validation bound.
-    # Three expansions carry everything (delta/cumsum is linear, so the
-    # telescoped sum reproduces any PACKED integer exactly): (a << 15 | b),
-    # and (desc << 15 | c) — descriptor id (<= 11 bits) shares a word with
-    # side c (15 bits), saving a fourth scatter+cumsum pass over L
-    # (chain_probe.py: the expansions are 2 of the probe stage's 5.4 ms).
-    qq = jnp.clip(jnp.round(query.sides * 256.0), 0, 32767).astype(jnp.int32)
-    qq_j = qq[job_desc]  # (NJ, 3) — job-level gather, 27x smaller than L
-    q_ab = _expand((qq_j[:, 0] << 15) | qq_j[:, 1])
-    dq_c = _expand((job_desc << 15) | qq_j[:, 2])
-    desc = dq_c >> 15  # nondecreasing
-    q_c = dq_c & 32767
-    q_a = q_ab >> 15
-    q_b = q_ab & 32767
     da = (lo_w & 0xFFFF).astype(jnp.int32) - q_a
     db_ = (lo_w >> 16).astype(jnp.int32) - q_b
     dc = (hi_w & 0xFFFF).astype(jnp.int32) - q_c

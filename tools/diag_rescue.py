@@ -107,9 +107,10 @@ def main():
         rot = np.degrees(np.arccos(tr))
         guard = (shift <= cfg.gicp.max_refine_shift_m) & (
             rot <= cfg.gicp.max_refine_rot_deg)
-        good = guard & (fit < cfg.gicp.best_fitness)
-        fit_eff = np.where(guard, fit, np.inf)
-        pick = int(good.argmax()) if good.any() else int(fit_eff.argmin())
+        # The PRODUCTION pick (match.pipeline.rerank_pick): overlap-
+        # normalized score argmax among guard-passing candidates.
+        score = np.where(guard, frac - 0.1 * fitg, -np.inf)
+        pick = int(score.argmax())
         final = refined[pick] if guard.any() else init_poses[0]
         fin_te, fin_re = rpe(gt, final)
         fin_ok = fin_te < 5 and fin_re < 10

@@ -144,6 +144,7 @@ def main():
             "query_center_noise_m": q_noise, "dropout": q_drop,
             "label_corrupt_rate": q_corrupt, "motifs": n_motifs,
             "unique_per_block": unique_pb, "gicp_leaf": leaf, "gicp_corr_gate_m": gate,
+            "rerank_k": int(os.environ.get("HARD_RERANK_K", "5")),
         },
         "descriptor_only": out_desc,
         "gicp_refined": out_gicp,
